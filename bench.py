@@ -1,0 +1,293 @@
+"""Benchmark: fused MAGI log-posterior value-and-grad throughput on the
+FitzHugh-Nagumo NUTS workload (the metric of record, BASELINE.json).
+
+Workload parity with the reference example (run_scripts/fn_example.jl:22-42):
+100 observations on [0, 20], filllevel-2 discretization -> n = 397 grid
+points, D = 2, Matern-5/2, bandSize 20, sigma sampled (Psi dim = 799).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured on the spot: the same workload evaluated by a reference-faithful
+CPU implementation — float64, vectorized NumPy/BLAS with the hand-derived
+gradient exactly as /root/reference/src/likelihoods.jl computes it (per-dim
+banded matvecs + Jacobian accumulation). vs_baseline = device rate / CPU
+rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N, ...}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Workload construction
+# ---------------------------------------------------------------------------
+
+def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
+    import jax.numpy as jnp
+
+    from manifold_constrained_gaussian_process_inference_tpu.inference.target import (
+        MagiTarget,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import FN_SYSTEM
+    from manifold_constrained_gaussian_process_inference_tpu.ops.gp_cov import (
+        build_gp_cov,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.utils.integrators import (
+        integrate_system,
+        sample_on_grid,
+    )
+
+    rng = np.random.default_rng(seed)
+    theta_true = np.array([0.2, 0.2, 3.0])
+    ts, xs = integrate_system(FN_SYSTEM, [-1.0, 1.0], 0.0, t_end, theta_true, 4000)
+    t_obs = np.linspace(0.0, t_end, n_obs)
+    y_at_obs = sample_on_grid(ts, xs, t_obs) + 0.2 * rng.normal(size=(n_obs, 2))
+
+    ins = 2**fill - 1
+    segs = [
+        np.linspace(t_obs[i], t_obs[i + 1], ins + 2)[:-1]
+        for i in range(n_obs - 1)
+    ]
+    t_grid = np.concatenate(segs + [t_obs[-1:]])
+    y_grid = np.full((len(t_grid), 2), np.nan)
+    y_grid[:: ins + 1] = y_at_obs
+
+    phi = np.array([[2.0, 2.0], [1.5, 1.5]])
+    cov = build_gp_cov("matern52", phi, t_grid, bandsize=20, complexity=2,
+                       jitter=1e-6)
+    target = MagiTarget.build(
+        y_grid, cov, FN_SYSTEM, sigma_init=np.array([0.2, 0.2]),
+        prior_temperature=np.array([1.0, 1.0, 3.0]), sigma_is_fixed=False,
+    )
+    x0 = np.stack(
+        [np.interp(t_grid, t_obs, y_at_obs[:, d]) for d in range(2)], axis=-1
+    )
+    psi0 = np.concatenate([x0.T.reshape(-1), theta_true, np.log([0.2, 0.2])])
+    host = dict(
+        y=y_grid, t=t_grid, cov=cov, phi=phi, x0=x0, theta=theta_true,
+    )
+    return target, psi0, host
+
+
+# ---------------------------------------------------------------------------
+# Device throughput
+# ---------------------------------------------------------------------------
+
+def bench_device_grad(target, psi0, n_evals=3000):
+    import jax
+    import jax.numpy as jnp
+
+    dtype = target.data.mask.dtype
+    vg = target.value_and_grad_fn()
+    psi = jnp.asarray(psi0, dtype)
+
+    @jax.jit
+    def chained(psi, n):
+        # Chain evaluations so each depends on the previous (no batching
+        # tricks): mimics the sequential leapfrog data dependence in NUTS.
+        def body(_, p):
+            v, g = vg(p)
+            return p + 1e-6 * g / (1.0 + jnp.abs(v))
+
+        return jax.lax.fori_loop(0, n, body, psi)
+
+    chained(psi, 3).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    chained(psi, n_evals).block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_evals / dt
+
+
+def bench_nuts_ess(target, psi0, n_chains=8, n_samples=1500, n_adapts=750):
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
+        run_chains,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.postprocess.diagnostics import (
+        ess,
+    )
+
+    dtype = target.data.mask.dtype
+    vg = target.value_and_grad_fn()
+    psi0s = jnp.asarray(np.tile(psi0, (n_chains, 1)), dtype)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+
+    # compile (excluded from timing)
+    s, _ = run_chains(vg, psi0s, keys, n_samples=4, n_adapts=2,
+                      initial_step_size=0.01)
+    np.asarray(s)
+
+    t0 = time.perf_counter()
+    samples, info = run_chains(
+        vg, psi0s, keys, n_samples=n_samples, n_adapts=n_adapts,
+        initial_step_size=0.01, target_accept=0.8,
+    )
+    samples = np.asarray(samples)
+    dt = time.perf_counter() - t0
+
+    n, d = target.n_times, target.n_dims
+    theta = samples[:, :, n * d : n * d + target.n_params_ode]
+    ess_vals = np.array([ess(theta[:, :, j]) for j in range(theta.shape[-1])])
+    grad_evals = float(np.sum(np.asarray(info["num_leapfrog"])))
+    return dict(
+        ess_min=float(np.nanmin(ess_vals)),
+        ess_per_sec=float(np.nanmin(ess_vals) / dt),
+        sampling_time=dt,
+        grad_evals=grad_evals,
+        grad_evals_per_sec=grad_evals / dt,
+        divergences=int(np.sum(np.asarray(info["diverging"]))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-faithful CPU baseline (float64 NumPy/BLAS, hand gradient)
+# ---------------------------------------------------------------------------
+
+def make_numpy_reference(host):
+    """Value+gradient exactly as likelihoods.jl computes them, on banded-
+    truncated dense float64 matrices with BLAS matvecs."""
+    cov = host["cov"]
+    cinv = np.asarray(cov.Cinv_band, dtype=np.float64)
+    mphi = np.asarray(cov.mphi_band, dtype=np.float64)
+    kinv = np.asarray(cov.Kinv_band, dtype=np.float64)
+    y = host["y"]
+    mask = np.isfinite(y)
+    yf = np.where(mask, y, 0.0)
+    nobs = mask.sum(axis=0)
+    tvec = host["t"]
+    beta = np.array([1.0, 1.0, 3.0])
+    n, d = y.shape
+
+    def fn_f(x, theta):
+        v, r = x[:, 0], x[:, 1]
+        a, b, c = theta
+        return np.stack([c * (v - v**3 / 3 + r), -(v - a + b * r) / c], -1)
+
+    def fn_jx(x, theta):
+        v = x[:, 0]
+        a, b, c = theta
+        j = np.zeros((n, 2, 2))
+        j[:, 0, 0] = c * (1 - v**2)
+        j[:, 0, 1] = c
+        j[:, 1, 0] = -1 / c
+        j[:, 1, 1] = -b / c
+        return j
+
+    def fn_jt(x, theta):
+        v, r = x[:, 0], x[:, 1]
+        a, b, c = theta
+        j = np.zeros((n, 2, 3))
+        j[:, 0, 2] = v - v**3 / 3 + r
+        j[:, 1, 0] = 1 / c
+        j[:, 1, 1] = -r / c
+        j[:, 1, 2] = (v - a + b * r) / c**2
+        return j
+
+    def value_and_grad(psi):
+        x = psi[: n * d].reshape(d, n).T
+        theta = psi[n * d : n * d + 3]
+        log_sigma = np.clip(psi[n * d + 3 :], -15.0, 15.0)
+        sigma = np.exp(log_sigma)
+        s2 = sigma**2
+        f = fn_f(x, theta)
+        ll = 0.0
+        grad_x = np.zeros((n, d))
+        grad_theta = np.zeros(3)
+        grad_sigma = np.zeros(d)
+        ke_all = np.zeros((n, d))
+        for p in range(d):
+            xl = x[:, p]
+            e_lvl = np.where(mask[:, p], xl - yf[:, p], 0.0)
+            mx = mphi[p] @ xl
+            e_drv = f[:, p] - mx
+            ke = kinv[p] @ e_drv
+            cx = cinv[p] @ xl
+            ke_all[:, p] = ke
+            sse = float(e_lvl @ e_lvl)
+            ll += (-0.5 * sse / s2[p] - 0.5 * nobs[p] * np.log(2 * np.pi * s2[p])) / beta[2]
+            ll += -0.5 * float(e_drv @ ke) / beta[0]
+            ll += -0.5 * float(xl @ cx) / beta[1]
+            grad_x[:, p] += -np.where(mask[:, p], e_lvl, 0.0) / s2[p] / beta[2]
+            grad_x[:, p] += -cx / beta[1]
+            grad_x[:, p] += (mphi[p].T @ ke) / beta[0]
+            grad_sigma[p] = (sse / s2[p] - nobs[p]) / (sigma[p] * beta[2])
+        jx = fn_jx(x, theta)
+        jt = fn_jt(x, theta)
+        ke_scaled = ke_all / beta[0]
+        grad_x -= np.einsum("ipj,ip->ij", jx, ke_scaled)
+        grad_theta -= np.einsum("ipm,ip->im", jt, ke_scaled).sum(axis=0)
+        # log-sigma reparam + Jacobian prior term
+        ll += float(np.sum(log_sigma))
+        grad_log_sigma = grad_sigma * sigma + 1.0
+        return ll, np.concatenate(
+            [grad_x.T.reshape(-1), grad_theta, grad_log_sigma]
+        )
+
+    return value_and_grad
+
+
+def bench_numpy_reference(host, psi0, n_evals=60):
+    vg = make_numpy_reference(host)
+    psi = psi0.astype(np.float64)
+    vg(psi)  # warm
+    t0 = time.perf_counter()
+    p = psi
+    for _ in range(n_evals):
+        v, g = vg(p)
+        p = p + 1e-6 * g / (1.0 + abs(v))
+    dt = time.perf_counter() - t0
+    return n_evals / dt, vg
+
+
+def main():
+    target, psi0, host = build_workload()
+    log(f"workload: n={target.n_times}, D={target.n_dims}, psi dim={psi0.shape[0]}")
+
+    # cross-check device vs reference-faithful implementation
+    import jax.numpy as jnp
+
+    vg_dev = target.value_and_grad_fn()
+    v_dev, g_dev = vg_dev(jnp.asarray(psi0, target.data.mask.dtype))
+    cpu_rate, vg_np = bench_numpy_reference(host, psi0)
+    v_np, g_np = vg_np(psi0)
+    rel = abs(float(v_dev) - v_np) / max(abs(v_np), 1.0)
+    gerr = float(
+        np.max(np.abs(np.asarray(g_dev, np.float64) - g_np))
+        / max(np.max(np.abs(g_np)), 1.0)
+    )
+    log(f"value check: dev={float(v_dev):.4f} np={v_np:.4f} rel={rel:.2e}; grad maxrel={gerr:.2e}")
+
+    dev_rate = bench_device_grad(target, psi0)
+    log(f"device grad rate: {dev_rate:,.0f} evals/s; cpu reference rate: {cpu_rate:,.0f} evals/s")
+
+    nuts = bench_nuts_ess(target, psi0)
+    log(f"nuts: {nuts}")
+
+    result = {
+        "metric": "fused log-posterior value+grad evals/sec (FN NUTS workload, n=397, D=2)",
+        "value": round(dev_rate, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(dev_rate / cpu_rate, 2),
+        "baseline_cpu_evals_per_sec": round(cpu_rate, 1),
+        "ess_per_sec_min_theta": round(nuts["ess_per_sec"], 2),
+        "nuts_grad_evals_per_sec": round(nuts["grad_evals_per_sec"], 1),
+        "nuts_divergences": nuts["divergences"],
+        "value_check_rel_err": rel,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

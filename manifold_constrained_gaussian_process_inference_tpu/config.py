@@ -1,0 +1,96 @@
+"""Typed configuration for the MAGI solver.
+
+Mirrors the reference's ``Dict{Symbol,Any}`` config keys and defaults
+(/root/reference/src/MagiJl.jl:208-220, 266-271) as a frozen dataclass, plus
+TPU-native extensions (chain count, dtype policy, PRNG seed).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_dtype() -> jnp.dtype:
+    """Working dtype of the sampling hot path.
+
+    float64 when the x64 flag is on (CPU test/parity mode), float32 otherwise
+    (TPU production mode). GP covariance setup always runs in float64 on host
+    (see ops/gp_cov.py) regardless of this value.
+    """
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class MagiConfig:
+    """Solver configuration.
+
+    Field-by-field parity with the reference config dictionary
+    (/root/reference/src/MagiJl.jl:208-220):
+
+    - ``kernel``            <-> ``:kernel``            (default "matern52")
+    - ``niter_hmc``         <-> ``:niterHmc``          (default 20000)
+    - ``burnin_ratio``      <-> ``:burninRatio``       (default 0.5)
+    - ``step_size_factor``  <-> ``:stepSizeFactor``    (default 0.01)
+    - ``band_size``         <-> ``:bandSize``          (default 20)
+    - ``prior_temperature`` <-> ``:priorTemperature``  ([beta_deriv, beta_level, beta_obs])
+    - ``sigma``             <-> ``:sigma``             (known noise SDs; fixed iff phi also given)
+    - ``phi``               <-> ``:phi``               (known GP hyperparams, shape (2, D))
+    - ``x_init``            <-> ``:xInit``
+    - ``theta_init``        <-> ``:thetaInit``
+    - ``target_accept_ratio`` <-> ``:targetAcceptRatio`` (default 0.8)
+    - ``jitter``            <-> ``:jitter``            (default 1e-6)
+    - ``gp_optim_iterations`` <-> ``:gpOptimIterations`` (default 100)
+    - ``verbose``           <-> ``:verbose``
+
+    TPU-native extensions (no reference counterpart):
+
+    - ``n_chains``: NUTS chains batched via vmap (sharded over devices when a
+      mesh is supplied to solve_magi).
+    - ``max_tree_depth``: NUTS doubling cap (Stan default 10).
+    - ``seed``: PRNG seed (the reference uses Julia's global RNG).
+    - ``dtype``: hot-path dtype; None -> default_dtype().
+    """
+
+    kernel: str = "matern52"
+    niter_hmc: int = 20000
+    burnin_ratio: float = 0.5
+    step_size_factor: float = 0.01
+    band_size: int = 20
+    prior_temperature: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    sigma: Optional[Sequence[float]] = None
+    phi: Optional[np.ndarray] = None
+    x_init: Optional[np.ndarray] = None
+    theta_init: Optional[Sequence[float]] = None
+    target_accept_ratio: float = 0.8
+    jitter: float = 1e-6
+    gp_optim_iterations: int = 100
+    verbose: bool = False
+
+    # TPU-native extensions
+    n_chains: int = 1
+    max_tree_depth: int = 10
+    seed: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    def resolved_dtype(self) -> jnp.dtype:
+        return self.dtype if self.dtype is not None else default_dtype()
+
+    @property
+    def sigma_provided(self) -> bool:
+        return self.sigma is not None and len(np.atleast_1d(self.sigma)) > 0
+
+    @property
+    def phi_provided(self) -> bool:
+        return self.phi is not None and np.asarray(self.phi).size > 0
+
+    @property
+    def sigma_is_fixed(self) -> bool:
+        """Sigma is fixed iff BOTH sigma and phi are provided.
+
+        Parity: /root/reference/src/MagiJl.jl:222-243.
+        """
+        return self.sigma_provided and self.phi_provided

@@ -1,0 +1,478 @@
+"""No-U-Turn Sampler, TPU-native.
+
+Counterpart of the reference's AdvancedHMC configuration
+(/root/reference/src/samplers.jl:114-194): multinomial trajectory sampling +
+generalized no-U-turn criterion + Stan warmup — but implemented from scratch
+as fixed-shape JAX control flow so the whole transition jit-compiles and
+batches over chains with vmap:
+
+- leapfrog steps run inside ``lax.while_loop`` tree expansion; the doubling
+  loop is another ``lax.while_loop`` capped at ``max_depth`` (default 10);
+- sub-trajectory U-turns are detected with the O(log n)-memory checkpoint
+  scheme of iterative NUTS (Phan & Pradhan; also Stan/numpyro) — buffers are
+  statically sized (max_depth, dim);
+- divergences and non-finite densities REJECT (weight -inf, divergence flag)
+  instead of throwing — deliberately better than the reference's
+  assert-on--Inf (samplers.jl:58-60; SURVEY.md section 7.4).
+
+Kinetic energy uses a diagonal metric: K(p) = 0.5 p^T diag(inv_mass) p with
+momenta drawn p ~ N(0, diag(1/inv_mass)) — DiagEuclideanMetric parity
+(samplers.jl:144).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .adapt import (
+    DualAveragingState,
+    WelfordState,
+    build_window_schedule,
+    da_init,
+    da_restart,
+    da_update,
+    welford_init,
+    welford_update,
+    welford_variance_regularized,
+)
+
+MAX_DELTA_ENERGY = 1000.0  # Stan's divergence threshold
+
+
+class Tree(NamedTuple):
+    """A trajectory segment (edges, aggregate momentum, multinomial proposal)."""
+
+    q_left: jnp.ndarray
+    p_left: jnp.ndarray
+    grad_left: jnp.ndarray
+    q_right: jnp.ndarray
+    p_right: jnp.ndarray
+    grad_right: jnp.ndarray
+    rho: jnp.ndarray          # sum of momenta over all leaves
+    q_prop: jnp.ndarray
+    logp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_sum_w: jnp.ndarray    # log sum of leaf weights exp(H0 - H)
+    sum_accept: jnp.ndarray   # sum over leaves of min(1, exp(H0 - H))
+    num_leaves: jnp.ndarray
+    diverging: jnp.ndarray    # bool
+    turning: jnp.ndarray      # bool
+
+
+class NutsStats(NamedTuple):
+    accept_prob: jnp.ndarray
+    num_leapfrog: jnp.ndarray
+    tree_depth: jnp.ndarray
+    diverging: jnp.ndarray
+    energy: jnp.ndarray
+    step_size: jnp.ndarray
+
+
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(p * p * inv_mass)
+
+
+def _leapfrog(vg, q, p, grad, eps, inv_mass):
+    p_half = p + 0.5 * eps * grad
+    q_new = q + eps * inv_mass * p_half
+    logp_new, grad_new = vg(q_new)
+    p_new = p_half + 0.5 * eps * grad_new
+    return q_new, p_new, logp_new, grad_new
+
+
+def _is_turning(p_left, p_right, rho, inv_mass):
+    """Generalized no-U-turn criterion with boundary-momentum correction
+    (Betancourt; Stan/numpyro variant)."""
+    rho_c = rho - 0.5 * (p_left + p_right)
+    t_left = jnp.dot(inv_mass * p_left, rho_c) <= 0.0
+    t_right = jnp.dot(inv_mass * p_right, rho_c) <= 0.0
+    return t_left | t_right
+
+
+def _leaf_idx_to_ckpt_idxs(n):
+    """Checkpoint index range for U-turn checks at leaf n (iterative NUTS).
+
+    idx_max = popcount(n >> 1); idx_min = idx_max - (trailing ones of n) + 1.
+    """
+
+    def popcount_body(c):
+        m, cnt = c
+        return m >> 1, cnt + (m & 1)
+
+    _, idx_max = lax.while_loop(lambda c: c[0] > 0, popcount_body, (n >> 1, jnp.int32(0)))
+
+    def trailing_body(c):
+        m, cnt = c
+        return m >> 1, cnt + 1
+
+    _, n_trail = lax.while_loop(
+        lambda c: (c[0] & 1) != 0, trailing_body, (n, jnp.int32(0))
+    )
+    return idx_max - n_trail + 1, idx_max
+
+
+def _is_iterative_turning(p_leaf, rho_cum, r_ckpts, rho_ckpts, idx_min, idx_max, inv_mass):
+    """Check U-turns of every sub-subtree that ends at this (odd) leaf."""
+
+    def body(c):
+        i, _ = c
+        rho_sub = rho_cum - rho_ckpts[i] + r_ckpts[i]
+        turn = _is_turning(r_ckpts[i], p_leaf, rho_sub, inv_mass)
+        return i - 1, turn
+
+    _, turning = lax.while_loop(
+        lambda c: (c[0] >= idx_min) & (~c[1]), body, (idx_max, jnp.asarray(False))
+    )
+    return turning
+
+
+def _build_subtree(
+    vg, q0, p0, grad0, num_leaves, eps_signed, inv_mass, h0, key, max_depth,
+    max_delta_energy,
+):
+    """Build a subtree of ``num_leaves`` (traced) leapfrog steps outward from
+    the given edge state, with internal U-turn checkpointing. Returns a Tree
+    whose left edge is the FIRST leaf and right edge the LAST leaf in build
+    order (caller re-orients by direction)."""
+    dim = q0.shape[0]
+    dtype = q0.dtype
+    neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
+
+    class SubState(NamedTuple):
+        leaf_idx: jnp.ndarray
+        q: jnp.ndarray
+        p: jnp.ndarray
+        grad: jnp.ndarray
+        q_first: jnp.ndarray
+        p_first: jnp.ndarray
+        grad_first: jnp.ndarray
+        rho: jnp.ndarray
+        q_prop: jnp.ndarray
+        logp_prop: jnp.ndarray
+        grad_prop: jnp.ndarray
+        log_sum_w: jnp.ndarray
+        sum_accept: jnp.ndarray
+        diverging: jnp.ndarray
+        turning: jnp.ndarray
+        r_ckpts: jnp.ndarray
+        rho_ckpts: jnp.ndarray
+        key: jnp.ndarray
+
+    def cond(s: SubState):
+        return (s.leaf_idx < num_leaves) & (~s.diverging) & (~s.turning)
+
+    def body(s: SubState):
+        key, k_mn = jax.random.split(s.key)
+        q, p, logp, grad = _leapfrog(vg, s.q, s.p, s.grad, eps_signed, inv_mass)
+        h = -logp + _kinetic(p, inv_mass)
+        delta = h - h0
+        bad = ~(delta <= max_delta_energy)  # NaN -> True
+        w = jnp.where(bad, neg_inf, -delta)
+        accept = jnp.where(bad, 0.0, jnp.exp(jnp.minimum(0.0, -delta)))
+
+        log_sum_w = jnp.logaddexp(s.log_sum_w, w)
+        take = jax.random.uniform(k_mn, dtype=dtype) < jnp.exp(w - log_sum_w)
+        q_prop = jnp.where(take, q, s.q_prop)
+        logp_prop = jnp.where(take, logp, s.logp_prop)
+        grad_prop = jnp.where(take, grad, s.grad_prop)
+
+        rho = s.rho + p
+        is_first = s.leaf_idx == 0
+        q_first = jnp.where(is_first, q, s.q_first)
+        p_first = jnp.where(is_first, p, s.p_first)
+        grad_first = jnp.where(is_first, grad, s.grad_first)
+
+        idx_min, idx_max = _leaf_idx_to_ckpt_idxs(s.leaf_idx)
+        is_even = (s.leaf_idx % 2) == 0
+        r_ckpts = jnp.where(
+            is_even, s.r_ckpts.at[idx_max].set(p), s.r_ckpts
+        )
+        rho_ckpts = jnp.where(
+            is_even, s.rho_ckpts.at[idx_max].set(rho), s.rho_ckpts
+        )
+        turning = jnp.where(
+            is_even,
+            jnp.asarray(False),
+            _is_iterative_turning(p, rho, r_ckpts, rho_ckpts, idx_min, idx_max, inv_mass),
+        )
+
+        return SubState(
+            leaf_idx=s.leaf_idx + 1,
+            q=q, p=p, grad=grad,
+            q_first=q_first, p_first=p_first, grad_first=grad_first,
+            rho=rho,
+            q_prop=q_prop, logp_prop=logp_prop, grad_prop=grad_prop,
+            log_sum_w=log_sum_w,
+            sum_accept=s.sum_accept + accept,
+            diverging=bad | s.diverging,
+            turning=turning,
+            r_ckpts=r_ckpts, rho_ckpts=rho_ckpts,
+            key=key,
+        )
+
+    init = SubState(
+        leaf_idx=jnp.int32(0),
+        q=q0, p=p0, grad=grad0,
+        q_first=q0, p_first=p0, grad_first=grad0,
+        rho=jnp.zeros_like(p0),
+        q_prop=q0, logp_prop=jnp.asarray(0.0, dtype), grad_prop=grad0,
+        log_sum_w=neg_inf,
+        sum_accept=jnp.asarray(0.0, dtype),
+        diverging=jnp.asarray(False),
+        turning=jnp.asarray(False),
+        r_ckpts=jnp.zeros((max_depth, dim), dtype),
+        rho_ckpts=jnp.zeros((max_depth, dim), dtype),
+        key=key,
+    )
+    s = lax.while_loop(cond, body, init)
+    return Tree(
+        q_left=s.q_first, p_left=s.p_first, grad_left=s.grad_first,
+        q_right=s.q, p_right=s.p, grad_right=s.grad,
+        rho=s.rho,
+        q_prop=s.q_prop, logp_prop=s.logp_prop, grad_prop=s.grad_prop,
+        log_sum_w=s.log_sum_w,
+        sum_accept=s.sum_accept,
+        num_leaves=s.leaf_idx.astype(dtype),
+        diverging=s.diverging,
+        turning=s.turning,
+    )
+
+
+def nuts_transition(
+    vg: Callable,
+    q: jnp.ndarray,
+    logp: jnp.ndarray,
+    grad: jnp.ndarray,
+    key: jnp.ndarray,
+    step_size: jnp.ndarray,
+    inv_mass: jnp.ndarray,
+    max_depth: int = 10,
+    max_delta_energy: float = MAX_DELTA_ENERGY,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, NutsStats]:
+    """One NUTS transition from (q, logp, grad). Returns the new state and
+    per-transition statistics."""
+    dtype = q.dtype
+    key_mom, key_loop = jax.random.split(key)
+    p0 = jax.random.normal(key_mom, q.shape, dtype) / jnp.sqrt(inv_mass)
+    h0 = -logp + _kinetic(p0, inv_mass)
+
+    init_tree = Tree(
+        q_left=q, p_left=p0, grad_left=grad,
+        q_right=q, p_right=p0, grad_right=grad,
+        rho=p0,
+        q_prop=q, logp_prop=logp, grad_prop=grad,
+        log_sum_w=jnp.zeros((), dtype),
+        sum_accept=jnp.zeros((), dtype),
+        num_leaves=jnp.zeros((), dtype),
+        diverging=jnp.asarray(False),
+        turning=jnp.asarray(False),
+    )
+
+    class LoopState(NamedTuple):
+        tree: Tree
+        depth: jnp.ndarray
+        done: jnp.ndarray
+        key: jnp.ndarray
+
+    def cond(s: LoopState):
+        return (s.depth < max_depth) & (~s.done)
+
+    def body(s: LoopState):
+        tree = s.tree
+        key, k_dir, k_sub, k_merge = jax.random.split(s.key, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        direction = jnp.where(go_right, 1.0, -1.0).astype(dtype)
+
+        edge_q = jnp.where(go_right, tree.q_right, tree.q_left)
+        edge_p = jnp.where(go_right, tree.p_right, tree.p_left)
+        edge_grad = jnp.where(go_right, tree.grad_right, tree.grad_left)
+
+        num_leaves = jnp.int32(1) << s.depth
+        sub = _build_subtree(
+            vg, edge_q, edge_p, edge_grad, num_leaves,
+            direction * step_size, inv_mass, h0, k_sub,
+            max_depth, max_delta_energy,
+        )
+        valid = ~(sub.diverging | sub.turning)
+
+        # Biased progressive sampling across the doubling (Stan):
+        # accept the new half's proposal with prob min(1, w_new / w_old).
+        log_ratio = sub.log_sum_w - tree.log_sum_w
+        take_new = valid & (
+            jax.random.uniform(k_merge, dtype=dtype)
+            < jnp.exp(jnp.minimum(0.0, log_ratio))
+        )
+        q_prop = jnp.where(take_new, sub.q_prop, tree.q_prop)
+        logp_prop = jnp.where(take_new, sub.logp_prop, tree.logp_prop)
+        grad_prop = jnp.where(take_new, sub.grad_prop, tree.grad_prop)
+
+        # Combined-tree edges/rho (only committed when the subtree is valid).
+        # In build order the subtree's left edge is the leaf nearest the old
+        # tree; its right edge is the outermost leaf regardless of direction.
+        new_q_left = jnp.where(go_right, tree.q_left, sub.q_right)
+        new_p_left = jnp.where(go_right, tree.p_left, sub.p_right)
+        new_grad_left = jnp.where(go_right, tree.grad_left, sub.grad_right)
+        new_q_right = jnp.where(go_right, sub.q_right, tree.q_right)
+        new_p_right = jnp.where(go_right, sub.p_right, tree.p_right)
+        new_grad_right = jnp.where(go_right, sub.grad_right, tree.grad_right)
+        rho = tree.rho + sub.rho
+        turning_combined = _is_turning(new_p_left, new_p_right, rho, inv_mass)
+
+        merged = Tree(
+            q_left=jnp.where(valid, new_q_left, tree.q_left),
+            p_left=jnp.where(valid, new_p_left, tree.p_left),
+            grad_left=jnp.where(valid, new_grad_left, tree.grad_left),
+            q_right=jnp.where(valid, new_q_right, tree.q_right),
+            p_right=jnp.where(valid, new_p_right, tree.p_right),
+            grad_right=jnp.where(valid, new_grad_right, tree.grad_right),
+            rho=jnp.where(valid, rho, tree.rho),
+            q_prop=q_prop, logp_prop=logp_prop, grad_prop=grad_prop,
+            log_sum_w=jnp.where(valid, jnp.logaddexp(tree.log_sum_w, sub.log_sum_w), tree.log_sum_w),
+            sum_accept=tree.sum_accept + sub.sum_accept,
+            num_leaves=tree.num_leaves + sub.num_leaves,
+            diverging=tree.diverging | sub.diverging,
+            turning=sub.turning | (valid & turning_combined),
+        )
+        done = sub.diverging | sub.turning | turning_combined
+        return LoopState(tree=merged, depth=s.depth + 1, done=done, key=key)
+
+    final = lax.while_loop(
+        cond, body,
+        LoopState(tree=init_tree, depth=jnp.int32(0), done=jnp.asarray(False), key=key_loop),
+    )
+    tree = final.tree
+    accept_prob = tree.sum_accept / jnp.maximum(tree.num_leaves, 1.0)
+    stats = NutsStats(
+        accept_prob=accept_prob,
+        num_leapfrog=tree.num_leaves,
+        tree_depth=final.depth,
+        diverging=tree.diverging,
+        energy=h0,
+        step_size=step_size,
+    )
+    return tree.q_prop, tree.logp_prop, tree.grad_prop, stats
+
+
+class ChainState(NamedTuple):
+    q: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+    key: jnp.ndarray
+
+
+class WarmupCarry(NamedTuple):
+    chain: ChainState
+    da: DualAveragingState
+    welford: WelfordState
+    inv_mass: jnp.ndarray
+
+
+def run_nuts(
+    vg: Callable,
+    q0: jnp.ndarray,
+    key: jnp.ndarray,
+    n_samples: int,
+    n_adapts: int,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    max_depth: int = 10,
+    adapt_mass: bool = True,
+):
+    """Single-chain NUTS with Stan warmup. Returns (samples, stats) where
+    ``samples`` is (n_samples - n_adapts, dim) of post-warmup draws.
+
+    Counterpart of run_nuts_sampler (/root/reference/src/samplers.jl:114-194)
+    with drop_warmup=true semantics. Batch over chains with
+    ``jax.vmap(lambda q0, key: run_nuts(...))``.
+    """
+    dtype = q0.dtype
+    dim = q0.shape[0]
+    n_keep = n_samples - n_adapts
+
+    logp0, grad0 = vg(q0)
+    chain0 = ChainState(q=q0, logp=logp0, grad=grad0, key=key)
+
+    in_window_np, window_end_np = build_window_schedule(n_adapts)
+    in_window = jnp.asarray(in_window_np)
+    window_end = jnp.asarray(window_end_np)
+
+    eps0 = jnp.asarray(initial_step_size, dtype)
+    carry0 = WarmupCarry(
+        chain=chain0,
+        da=da_init(eps0),
+        welford=welford_init(dim, dtype),
+        inv_mass=jnp.ones((dim,), dtype),
+    )
+
+    def warmup_step(carry: WarmupCarry, xs):
+        in_win, win_end = xs
+        chain = carry.chain
+        key, k_step = jax.random.split(chain.key)
+        eps = jnp.exp(carry.da.log_eps).astype(dtype)
+        q, logp, grad, stats = nuts_transition(
+            vg, chain.q, chain.logp, chain.grad, k_step, eps, carry.inv_mass,
+            max_depth=max_depth,
+        )
+        da = da_update(carry.da, stats.accept_prob, target_accept)
+
+        welford = carry.welford
+        if adapt_mass:
+            updated = welford_update(welford, q)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_win, a, b), updated, welford
+            )
+            new_inv_mass = welford_variance_regularized(welford)
+            inv_mass = jnp.where(win_end, new_inv_mass, carry.inv_mass)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(win_end, a, b),
+                welford_init(dim, dtype), welford,
+            )
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(win_end, a, b), da_restart(da), da
+            )
+        else:
+            inv_mass = carry.inv_mass
+
+        new_carry = WarmupCarry(
+            chain=ChainState(q=q, logp=logp, grad=grad, key=key),
+            da=da, welford=welford, inv_mass=inv_mass,
+        )
+        return new_carry, stats.diverging
+
+    if n_adapts > 0:
+        carry, warmup_div = lax.scan(
+            warmup_step, carry0, (in_window, window_end), length=n_adapts
+        )
+    else:
+        carry, warmup_div = carry0, jnp.zeros((0,), bool)
+
+    eps_final = jnp.exp(carry.da.log_eps_avg).astype(dtype)
+    inv_mass_final = carry.inv_mass
+
+    def sample_step(chain: ChainState, _):
+        key, k_step = jax.random.split(chain.key)
+        q, logp, grad, stats = nuts_transition(
+            vg, chain.q, chain.logp, chain.grad, k_step, eps_final,
+            inv_mass_final, max_depth=max_depth,
+        )
+        return ChainState(q=q, logp=logp, grad=grad, key=key), (q, logp, stats)
+
+    _, (samples, lp, stats) = lax.scan(
+        sample_step, carry.chain, None, length=n_keep
+    )
+    info = {
+        "lp": lp,
+        "accept_prob": stats.accept_prob,
+        "num_leapfrog": stats.num_leapfrog,
+        "tree_depth": stats.tree_depth,
+        "diverging": stats.diverging,
+        "energy": stats.energy,
+        "step_size": eps_final,
+        "inv_mass": inv_mass_final,
+        "warmup_diverging": warmup_div,
+    }
+    return samples, info

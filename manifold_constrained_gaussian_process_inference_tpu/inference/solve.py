@@ -1,0 +1,328 @@
+"""solve_magi — the end-to-end MAGI orchestrator.
+
+Counterpart of the reference's solve_magi (/root/reference/src/MagiJl.jl:170-773)
+with the same pipeline and result contract:
+
+  config -> (phi, sigma) init via NLML -> x init via interpolation ->
+  theta init from bounds -> GPCov build -> target -> NUTS -> results
+
+TPU-native differences:
+- the sampling loop is one jit region (warmup scan + sampling scan over the
+  fused value-and-grad);
+- ``n_chains`` chains run batched via vmap (sharded across devices with a
+  mesh — see parallel/chains.py); the reference runs exactly one chain;
+- failures raise informative exceptions instead of returning ``nothing``
+  (the soft-fail path of MagiJl.jl:471,489,626-629); callers wanting the
+  soft behavior can catch MagiError.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MagiConfig
+from ..models.base import OdeSystem
+from ..ops.gp_cov import build_gp_cov
+from .nlml import default_initial_guesses, optimize_gp_hyperparameters
+from .nuts import run_nuts
+from .target import MagiTarget
+
+logger = logging.getLogger(__name__)
+
+
+class MagiError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class MagiResult:
+    """Result contract parity with the reference NamedTuple
+    (theta, x_sampled, sigma, phi, lp) — MagiJl.jl:764-771. Multi-chain runs
+    concatenate chains along the sample axis; per-chain arrays live in
+    ``diagnostics``."""
+
+    theta: np.ndarray       # (S, k)
+    x_sampled: np.ndarray   # (S, n, D)
+    sigma: np.ndarray       # (S, D)
+    phi: np.ndarray         # (2, D)
+    lp: np.ndarray          # (S,)
+    diagnostics: Dict
+
+    def keys(self):
+        return ("theta", "x_sampled", "sigma", "phi", "lp")
+
+
+def _init_x_interpolation(y_obs: np.ndarray, t_obs: np.ndarray) -> np.ndarray:
+    """Linear interpolation of observations onto the full grid with linear
+    extrapolation at the ends; constant for <2 obs; zeros for no obs.
+
+    Parity: MagiJl.jl:352-410 (Interpolations.Line() extrapolation).
+    """
+    n, d = y_obs.shape
+    x0 = np.zeros((n, d))
+    for dim in range(d):
+        idx = np.flatnonzero(np.isfinite(y_obs[:, dim]))
+        if idx.size == 0:
+            logger.warning("No observations in dimension %d; x init = 0.", dim)
+            continue
+        tv, yv = t_obs[idx], y_obs[idx, dim]
+        tv, uniq = np.unique(tv, return_index=True)
+        yv = yv[uniq]
+        if tv.size < 2:
+            x0[:, dim] = yv[0]
+            continue
+        vals = np.interp(t_obs, tv, yv)
+        # np.interp clamps beyond the ends; extend linearly like Line().
+        left = t_obs < tv[0]
+        right = t_obs > tv[-1]
+        if left.any():
+            slope = (yv[1] - yv[0]) / (tv[1] - tv[0])
+            vals[left] = yv[0] + slope * (t_obs[left] - tv[0])
+        if right.any():
+            slope = (yv[-1] - yv[-2]) / (tv[-1] - tv[-2])
+            vals[right] = yv[-1] + slope * (t_obs[right] - tv[-1])
+        x0[:, dim] = vals
+    return x0
+
+
+def _init_theta_from_bounds(system: OdeSystem) -> np.ndarray:
+    """Bounds-midpoint initialization with nudging/clamping.
+
+    Parity: MagiJl.jl:413-453."""
+    lb = system.theta_lower_bound
+    ub = system.theta_upper_bound
+    k = system.theta_size
+    theta = np.zeros(k)
+    for i in range(k):
+        lo, hi = lb[i], ub[i]
+        if np.isfinite(lo) and np.isfinite(hi):
+            theta[i] = 0.5 * (lo + hi)
+        elif np.isfinite(lo):
+            theta[i] = lo + abs(lo) * 0.1 + 0.1
+        elif np.isfinite(hi):
+            theta[i] = hi - abs(hi) * 0.1 - 0.1
+        else:
+            theta[i] = 0.0
+        if np.isfinite(lo) and theta[i] <= lo:
+            theta[i] = lo + 1e-4 * (min(1.0, hi - lo) if np.isfinite(hi) else 1.0)
+        if np.isfinite(hi) and theta[i] >= hi:
+            theta[i] = hi - 1e-4 * (min(1.0, hi - lo) if np.isfinite(lo) else 1.0)
+        theta[i] = np.clip(theta[i], lo, hi)
+    return theta
+
+
+def solve_magi(
+    y_obs: np.ndarray,
+    t_obs: np.ndarray,
+    ode_system: OdeSystem,
+    config: Optional[MagiConfig] = None,
+    initial_params: Optional[np.ndarray] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> MagiResult:
+    """Solve the MAGI inference problem. See MagiConfig for options.
+
+    ``initial_params`` optionally supplies the full Psi_0 =
+    [vec(x); theta; log(sigma)] (parity: MagiJl.jl:175,526-569).
+    ``mesh`` shards chains across devices (TPU-native extension).
+    """
+    config = config or MagiConfig()
+    t_start = time.time()
+    y_obs = np.asarray(y_obs, dtype=np.float64)
+    t_obs = np.asarray(t_obs, dtype=np.float64)
+    if y_obs.ndim != 2:
+        raise MagiError(f"y_obs must be (n_times, n_dims); got {y_obs.shape}")
+    n_times, n_dims = y_obs.shape
+    if t_obs.shape != (n_times,):
+        raise MagiError("t_obs length must match y_obs rows")
+    k = ode_system.theta_size
+    dtype = config.resolved_dtype()
+
+    logger.info(
+        "MAGI solve: n=%d, D=%d, k=%d, kernel=%s, dtype=%s",
+        n_times, n_dims, k, config.kernel, np.dtype(dtype).name,
+    )
+
+    # --- sigma fixed/sampled decision (MagiJl.jl:222-243) ---
+    sigma_exo = (
+        np.asarray(config.sigma, dtype=np.float64)
+        if config.sigma_provided else np.array([])
+    )
+    phi_exo = (
+        np.asarray(config.phi, dtype=np.float64)
+        if config.phi_provided else np.zeros((2, 0))
+    )
+    sigma_is_fixed = config.sigma_is_fixed
+    if sigma_is_fixed:
+        if sigma_exo.shape != (n_dims,):
+            raise MagiError(
+                f":sigma must have length {n_dims}; got {sigma_exo.shape}"
+            )
+        if phi_exo.shape != (2, n_dims):
+            raise MagiError(
+                f":phi must be (2, {n_dims}) when sigma is fixed; got {phi_exo.shape}"
+            )
+    elif sigma_exo.size and not phi_exo.size:
+        logger.warning(
+            "sigma provided without phi: sigma treated as unknown and "
+            "re-initialized (parity MagiJl.jl:235-238)."
+        )
+        sigma_exo = np.array([])
+
+    # --- phi / sigma initialization (MagiJl.jl:245-344) ---
+    if phi_exo.size and sigma_is_fixed:
+        phi_all = phi_exo
+        sigma_init = sigma_exo
+    else:
+        guesses = default_initial_guesses(y_obs, t_obs)
+        if phi_exo.size:
+            guesses[:, 0] = np.log(np.maximum(phi_exo[0], 1e-10))
+            guesses[:, 1] = np.log(np.maximum(phi_exo[1], 1e-10))
+        optimized = optimize_gp_hyperparameters(
+            y_obs, t_obs, config.kernel,
+            initial_log_params=guesses,
+            jitter=config.jitter,
+            max_iters=config.gp_optim_iterations,
+        )  # (D, 3): variance, lengthscale, sigma
+        phi_all = phi_exo if phi_exo.size else optimized[:, :2].T
+        sigma_init = np.maximum(optimized[:, 2], 1e-8)
+    logger.info("phi:\n%s\ninitial sigma: %s%s",
+                np.round(phi_all, 4), np.round(sigma_init, 4),
+                " (fixed)" if sigma_is_fixed else "")
+    if not (np.isfinite(phi_all).all() and (phi_all > 0).all()):
+        raise MagiError(f"Invalid GP hyperparameters: {phi_all}")
+
+    # --- x / theta init ---
+    if config.x_init is not None and np.asarray(config.x_init).size:
+        x_init = np.asarray(config.x_init, dtype=np.float64)
+        if x_init.shape != (n_times, n_dims):
+            raise MagiError(
+                f":xInit must be ({n_times}, {n_dims}); got {x_init.shape}"
+            )
+    else:
+        x_init = _init_x_interpolation(y_obs, t_obs)
+
+    if config.theta_init is not None and len(np.atleast_1d(config.theta_init)):
+        theta_init = np.asarray(config.theta_init, dtype=np.float64)
+        if theta_init.shape != (k,):
+            raise MagiError(f":thetaInit must have length {k}")
+        lo, hi = ode_system.theta_lower_bound, ode_system.theta_upper_bound
+        if (theta_init < lo).any() or (theta_init > hi).any():
+            logger.warning("thetaInit outside bounds; clamping.")
+            theta_init = np.clip(theta_init, lo, hi)
+    else:
+        theta_init = _init_theta_from_bounds(ode_system)
+
+    # --- GP covariance structures (MagiJl.jl:457-492) ---
+    gp_cov = build_gp_cov(
+        config.kernel, phi_all, t_obs,
+        bandsize=config.band_size, complexity=2, jitter=config.jitter,
+        dtype=dtype,
+    )
+
+    # --- target ---
+    prior_temps = np.asarray(config.prior_temperature, dtype=np.float64)
+    if prior_temps.shape != (3,):
+        logger.warning(
+            "priorTemperature should be [beta_deriv, beta_level, beta_obs]; "
+            "broadcasting scalar (parity MagiJl.jl:498-505)."
+        )
+        prior_temps = np.full(3, float(np.atleast_1d(prior_temps)[0]))
+    target = MagiTarget.build(
+        y_obs, gp_cov, ode_system, sigma_init, prior_temps,
+        sigma_is_fixed, dtype=dtype,
+    )
+
+    # --- Psi_0 assembly (MagiJl.jl:526-569) ---
+    if initial_params is not None:
+        psi0 = np.asarray(initial_params, dtype=np.float64).copy()
+        if psi0.shape != (target.dimension,):
+            raise MagiError(
+                f"initial_params must have length {target.dimension} "
+                f"(sigma {'fixed' if sigma_is_fixed else 'sampled'}); got {psi0.shape}"
+            )
+        ts, te = n_times * n_dims, n_times * n_dims + k
+        th = psi0[ts:te]
+        lo, hi = ode_system.theta_lower_bound, ode_system.theta_upper_bound
+        if (th < lo).any() or (th > hi).any():
+            logger.warning("theta part of initial_params outside bounds; clamping.")
+            psi0[ts:te] = np.clip(th, lo, hi)
+    else:
+        parts = [x_init.T.reshape(-1), theta_init]
+        if not sigma_is_fixed:
+            parts.append(np.log(np.maximum(sigma_init, 1e-8)))
+        psi0 = np.concatenate(parts)
+    logger.info("Sampling dimension: %d", psi0.shape[0])
+
+    # --- NUTS (MagiJl.jl:577-604) ---
+    n_adapts = int(np.floor(config.niter_hmc * config.burnin_ratio))
+    vg = target.value_and_grad_fn()
+    n_chains = int(config.n_chains)
+    key = jax.random.PRNGKey(config.seed)
+
+    from ..parallel.chains import run_chains
+
+    t_sample = time.time()
+    samples, info = run_chains(
+        vg,
+        jnp.asarray(np.tile(psi0, (n_chains, 1)), dtype=dtype),
+        jax.random.split(key, n_chains),
+        n_samples=config.niter_hmc,
+        n_adapts=n_adapts,
+        initial_step_size=config.step_size_factor,
+        target_accept=config.target_accept_ratio,
+        max_depth=config.max_tree_depth,
+        mesh=mesh,
+    )
+    samples = np.asarray(samples)  # (C, S, dim)
+    sampling_time = time.time() - t_sample
+
+    # --- results processing (MagiJl.jl:633-771) ---
+    n_keep = samples.shape[1]
+    flat = samples.reshape(n_chains * n_keep, -1)
+    x_samples = (
+        flat[:, : n_times * n_dims]
+        .reshape(-1, n_dims, n_times)
+        .transpose(0, 2, 1)
+    )
+    theta_samples = flat[:, n_times * n_dims : n_times * n_dims + k]
+    if sigma_is_fixed:
+        sigma_samples = np.tile(sigma_init, (flat.shape[0], 1))
+    else:
+        sigma_samples = np.exp(flat[:, n_times * n_dims + k :])
+    lp = np.asarray(info["lp"]).reshape(-1)
+
+    n_div = int(np.sum(np.asarray(info["diverging"])))
+    if n_div:
+        logger.warning("%d divergent transitions after warmup.", n_div)
+
+    diagnostics = {
+        "accept_prob": np.asarray(info["accept_prob"]),
+        "num_leapfrog": np.asarray(info["num_leapfrog"]),
+        "tree_depth": np.asarray(info["tree_depth"]),
+        "diverging": np.asarray(info["diverging"]),
+        "energy": np.asarray(info["energy"]),
+        "step_size": np.asarray(info["step_size"]),
+        "inv_mass": np.asarray(info["inv_mass"]),
+        "n_divergent": n_div,
+        "n_chains": n_chains,
+        "lp_per_chain": np.asarray(info["lp"]),
+        "theta_per_chain": samples[:, :, n_times * n_dims : n_times * n_dims + k],
+        "sampling_time_s": sampling_time,
+        "total_time_s": time.time() - t_start,
+        "gradient_evals": float(np.sum(np.asarray(info["num_leapfrog"]))),
+        "sigma_is_fixed": sigma_is_fixed,
+    }
+    return MagiResult(
+        theta=theta_samples,
+        x_sampled=x_samples,
+        sigma=sigma_samples,
+        phi=np.asarray(phi_all),
+        lp=lp,
+        diagnostics=diagnostics,
+    )

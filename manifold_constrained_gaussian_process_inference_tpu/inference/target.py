@@ -1,0 +1,136 @@
+"""The MAGI posterior target: packing, unpacking, and the jit'd
+value-and-grad closure consumed by NUTS.
+
+Counterpart of MagiTarget + the LogDensityProblems adapter
+(/root/reference/src/logdensityproblems_interface.jl:33-267). Instead of a
+struct implementing an interface, the target is a plain function
+``psi -> (logdensity, grad)`` closed over static device data; the
+fixed-vs-sampled-sigma switch is a STATIC flag producing two different
+compiled programs (different Psi layouts), never a runtime branch.
+
+Psi layout (parity with the reference's initial_params contract,
+MagiJl.jl:526-569): [vec(X) column-major (n*D); theta (k); log_sigma (D) if
+sigma is sampled]. Column-major vec matches Julia's ``vec(x_init)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import OdeSystem
+from ..ops.gp_cov import GPCov
+from ..ops.likelihood import LikelihoodData, log_posterior, make_likelihood_data
+
+LOG_SIGMA_CLAMP = 15.0  # parity: logdensityproblems_interface.jl:134,200
+
+
+@dataclasses.dataclass(frozen=True)
+class MagiTarget:
+    """Bundles the problem for sampling.
+
+    ``sigma_init`` is the fixed sigma when ``sigma_is_fixed`` else only the
+    initialization value (parity: logdensityproblems_interface.jl:39,122-145).
+    """
+
+    system: OdeSystem
+    data: LikelihoodData
+    sigma_init: jnp.ndarray
+    n_times: int
+    n_dims: int
+    n_params_ode: int
+    sigma_is_fixed: bool
+
+    @classmethod
+    def build(
+        cls,
+        yobs: np.ndarray,
+        gp_cov: GPCov,
+        system: OdeSystem,
+        sigma_init,
+        prior_temperature,
+        sigma_is_fixed: bool,
+        dtype=None,
+    ) -> "MagiTarget":
+        data = make_likelihood_data(yobs, gp_cov, prior_temperature, dtype=dtype)
+        n, d = np.asarray(yobs).shape
+        return cls(
+            system=system,
+            data=data,
+            sigma_init=jnp.asarray(
+                np.asarray(sigma_init, dtype=np.float64), dtype=data.mask.dtype
+            ),
+            n_times=n,
+            n_dims=d,
+            n_params_ode=system.theta_size,
+            sigma_is_fixed=sigma_is_fixed,
+        )
+
+    @property
+    def dimension(self) -> int:
+        """Sampled dimension: n*D + k (+ D when sigma is sampled).
+
+        Parity: logdensityproblems_interface.jl:53-61."""
+        dim = self.n_times * self.n_dims + self.n_params_ode
+        if not self.sigma_is_fixed:
+            dim += self.n_dims
+        return dim
+
+    # -- packing ------------------------------------------------------------
+
+    def pack(self, x, theta, log_sigma=None) -> jnp.ndarray:
+        parts = [jnp.asarray(x).T.reshape(-1), jnp.asarray(theta).reshape(-1)]
+        if not self.sigma_is_fixed:
+            if log_sigma is None:
+                raise ValueError("log_sigma required when sigma is sampled")
+            parts.append(jnp.asarray(log_sigma).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def unpack(self, psi) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """psi -> (x (n, D), theta (k,), log_sigma (D,) or None)."""
+        n, d, k = self.n_times, self.n_dims, self.n_params_ode
+        x = psi[: n * d].reshape(d, n).T  # column-major unvec
+        theta = psi[n * d : n * d + k]
+        if self.sigma_is_fixed:
+            return x, theta, None
+        return x, theta, psi[n * d + k :]
+
+    # -- densities ----------------------------------------------------------
+
+    def logdensity_fn(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Pure scalar log-posterior over the packed Psi vector.
+
+        Sampled-sigma mode transforms sigma = exp(clamp(log_sigma, +-15)) and
+        adds the log-Jacobian sum(log_sigma) — an implicit 1/sigma prior
+        (parity: logdensityproblems_interface.jl:111-166).
+        """
+        data, system = self.data, self.system
+        sigma_fixed = self.sigma_init
+        fixed = self.sigma_is_fixed
+        unpack = self.unpack
+
+        def logdensity(psi):
+            x, theta, log_sigma = unpack(psi)
+            if fixed:
+                sigma = sigma_fixed
+                jac = jnp.zeros((), dtype=psi.dtype)
+            else:
+                clamped = jnp.clip(log_sigma, -LOG_SIGMA_CLAMP, LOG_SIGMA_CLAMP)
+                sigma = jnp.exp(clamped)
+                jac = jnp.sum(clamped)
+            return log_posterior(x, theta, sigma, data, system.f) + jac
+
+        return logdensity
+
+    def value_and_grad_fn(self) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Fused value-and-grad of the log-posterior — ONE jit region.
+
+        This is the whole of the reference's per-leapfrog-step call tree
+        (SURVEY.md section 3.2) as a single XLA computation. Non-finite
+        values are NOT asserted on (the reference sampler throws,
+        samplers.jl:58-60); NUTS treats them as divergences.
+        """
+        return jax.value_and_grad(self.logdensity_fn())

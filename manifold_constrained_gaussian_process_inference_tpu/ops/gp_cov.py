@@ -1,0 +1,232 @@
+"""GP covariance engine: the TPU-native GPCov.
+
+Counterpart of the reference's GPCov struct and builder
+(/root/reference/src/gaussian_process.jl:14-54, 219-363), redesigned:
+
+- Instead of a mutable per-dimension struct, covariances are a frozen PyTree
+  with all D dimensions batched into (D, n, n) stacks, ready for batched
+  einsum matvecs on the MXU.
+- The one-time construction (kernel matrices, analytic derivatives, Cholesky
+  inverses) runs on host in float64 via numpy/LAPACK — the reference's
+  numerical hazards (Kphi condition numbers ~1e8, test/test_gp.jl:695-825)
+  rule out doing this once-per-solve step in float32. Results are then cast
+  to the working dtype (float32 on TPU) for the jit'd hot path.
+- PositiveFactorizations' repair-Cholesky becomes a deterministic
+  jitter-escalation with an eigenvalue-floor fallback (never throws).
+
+Math (Documentation of Algorithm.pdf section 2; gaussian_process.jl:290-331):
+  Cinv = (C + jitter I)^-1
+  mphi = Cprime @ Cinv
+  Kphi = Cdoubleprime - mphi @ Cprime^T + jitter I
+  Kinv = Kphi^-1
+Banded copies truncate Cinv/mphi/Kinv to the given bandwidth
+(gaussian_process.jl:357-360).
+"""
+from __future__ import annotations
+
+import logging
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels as _kernels
+from .band import mat2band
+
+logger = logging.getLogger(__name__)
+
+
+class GPCov(NamedTuple):
+    """Batched GP covariance bundle for all D state dimensions.
+
+    Shapes: phi (D, 2) [variance, lengthscale]; tvec (n,); dense matrices
+    (D, n, n); mu/dotmu (D, n). *_band are band-masked dense copies (zeros
+    outside the band) — bit-equivalent to the reference's BandedMatrix in
+    every product. ``bandsize`` is a plain int (static).
+    """
+
+    phi: jnp.ndarray
+    tvec: jnp.ndarray
+    C: jnp.ndarray
+    Cinv: jnp.ndarray
+    Cprime: jnp.ndarray
+    Cdoubleprime: jnp.ndarray
+    mphi: jnp.ndarray
+    Kphi: jnp.ndarray
+    Kinv: jnp.ndarray
+    Cinv_band: jnp.ndarray
+    mphi_band: jnp.ndarray
+    Kinv_band: jnp.ndarray
+    mu: jnp.ndarray
+    dotmu: jnp.ndarray
+    bandsize: int
+
+    @property
+    def n_times(self) -> int:
+        return self.tvec.shape[0]
+
+    @property
+    def n_dims(self) -> int:
+        return self.C.shape[0]
+
+
+def robust_spd_inverse(a: np.ndarray, jitter: float, max_tries: int = 8):
+    """Invert a symmetric matrix, repairing non-PD inputs deterministically.
+
+    Equivalent role to cholesky(PositiveFactorizations.Positive, A) + inv
+    (/root/reference/src/gaussian_process.jl:295-296,317-318): never raises.
+    Strategy: Cholesky with jitter escalated x10 per retry; if that exhausts,
+    eigenvalue-floor the matrix. Returns (inverse, effective_jitter).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    a = 0.5 * (a + a.T)
+    n = a.shape[0]
+    eye = np.eye(n)
+    j = 0.0
+    for trial in range(max_tries):
+        j = 0.0 if trial == 0 else jitter * (10.0 ** (trial - 1))
+        try:
+            chol = np.linalg.cholesky(a + j * eye)
+            inv_l = np.linalg.inv(chol)
+            return inv_l.T @ inv_l, j
+        except np.linalg.LinAlgError:
+            continue
+    # Eigenvalue floor fallback (always succeeds for symmetric input).
+    w, v = np.linalg.eigh(a)
+    floor = max(jitter, 1e-12 * max(np.max(np.abs(w)), 1.0))
+    w = np.maximum(w, floor)
+    logger.warning(
+        "robust_spd_inverse: Cholesky failed after jitter escalation; "
+        "using eigenvalue floor %.3e.", floor,
+    )
+    return (v / w) @ v.T, float("nan")
+
+
+def calculate_gp_covariances(
+    kernel_type: str,
+    phi: np.ndarray,
+    tvec: np.ndarray,
+    bandsize: int,
+    complexity: int = 0,
+    jitter: float = 1e-7,
+    check_eigenvalues: bool = True,
+):
+    """Single-dimension covariance build (host, float64). Returns dict of
+    numpy arrays with the same fields as GPCov (minus batching).
+
+    Parity: calculate_gp_covariances! (/root/reference/src/gaussian_process.jl:219-363).
+    complexity >= 2 computes the full MAGI derivative blocks; otherwise
+    mphi = 0 and Kphi falls back to jitter*I (:319-331).
+    """
+    tvec = np.asarray(tvec, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    variance, lengthscale = float(phi[0]), float(phi[1])
+    n = tvec.shape[0]
+    l = u = int(bandsize)
+
+    if complexity >= 2:
+        c, cprime, cdouble = _kernels.cov_blocks(kernel_type, tvec, variance, lengthscale)
+    else:
+        c = _kernels.kernel_matrix(kernel_type, tvec, variance, lengthscale)
+        cprime = np.zeros_like(c)
+        cdouble = np.zeros_like(c)
+
+    derivatives_calculated = complexity >= 2 and (
+        np.any(cprime != 0.0) or np.any(cdouble != 0.0)
+    )
+
+    c_jittered = 0.5 * (c + c.T) + jitter * np.eye(n)
+    cinv, _ = robust_spd_inverse(c_jittered, jitter)
+
+    if derivatives_calculated:
+        mphi = cprime @ cinv
+        kphi = cdouble - mphi @ cprime.T
+        kphi = 0.5 * (kphi + kphi.T) + jitter * np.eye(n)
+        if check_eigenvalues:
+            min_eig = float(np.linalg.eigvalsh(kphi).min())
+            if min_eig <= 0:
+                logger.warning(
+                    "Kphi (after jitter) still has non-positive eigenvalues "
+                    "(min=%.3e, jitter=%.1e, phi=%s). Check derivatives or "
+                    "increase jitter.", min_eig, jitter, phi,
+                )
+        kinv, _ = robust_spd_inverse(kphi, jitter)
+    else:
+        mphi = np.zeros_like(c)
+        kphi = jitter * np.eye(n)
+        kinv = (1.0 / jitter) * np.eye(n)
+
+    return dict(
+        phi=phi,
+        tvec=tvec,
+        C=c_jittered - jitter * np.eye(n),  # store un-jittered C like the reference
+        Cinv=cinv,
+        Cprime=cprime,
+        Cdoubleprime=cdouble,
+        mphi=mphi,
+        Kphi=kphi,
+        Kinv=kinv,
+        Cinv_band=mat2band(cinv, l, u),
+        mphi_band=mat2band(mphi, l, u),
+        Kinv_band=mat2band(kinv, l, u),
+        mu=np.zeros(n),
+        dotmu=np.zeros(n),
+        bandsize=int(bandsize),
+    )
+
+
+def build_gp_cov(
+    kernel_type: str,
+    phi_all: np.ndarray,
+    tvec: np.ndarray,
+    bandsize: int,
+    complexity: int = 2,
+    jitter: float = 1e-6,
+    dtype: Optional[jnp.dtype] = None,
+    check_eigenvalues: bool = True,
+) -> GPCov:
+    """Build the batched GPCov for all dimensions.
+
+    ``phi_all`` has shape (2, D) (reference layout, MagiJl.jl:165) —
+    [variance; lengthscale] per dimension. Band size is clipped to n-1
+    (parity: /root/reference/src/MagiJl.jl:459-461).
+    """
+    phi_all = np.asarray(phi_all, dtype=np.float64)
+    tvec = np.asarray(tvec, dtype=np.float64)
+    n = tvec.shape[0]
+    n_dims = phi_all.shape[1]
+    bs = max(min(int(bandsize), n - 1), 0)
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+
+    per_dim = [
+        calculate_gp_covariances(
+            kernel_type, phi_all[:, d], tvec, bs,
+            complexity=complexity, jitter=jitter,
+            check_eigenvalues=check_eigenvalues,
+        )
+        for d in range(n_dims)
+    ]
+
+    def stack(key):
+        return jnp.asarray(np.stack([p[key] for p in per_dim]), dtype=dtype)
+
+    return GPCov(
+        phi=jnp.asarray(phi_all.T, dtype=dtype),
+        tvec=jnp.asarray(tvec, dtype=dtype),
+        C=stack("C"),
+        Cinv=stack("Cinv"),
+        Cprime=stack("Cprime"),
+        Cdoubleprime=stack("Cdoubleprime"),
+        mphi=stack("mphi"),
+        Kphi=stack("Kphi"),
+        Kinv=stack("Kinv"),
+        Cinv_band=stack("Cinv_band"),
+        mphi_band=stack("mphi_band"),
+        Kinv_band=stack("Kinv_band"),
+        mu=stack("mu"),
+        dotmu=stack("dotmu"),
+        bandsize=bs,
+    )

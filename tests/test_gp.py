@@ -1,0 +1,188 @@
+"""GP covariance engine tests — the invariants of the reference's
+test/test_gp.jl: derivative closed forms vs finite differences, C' anti-
+symmetry, C'' diagonal, mphi/Kphi identities, band truncation semantics,
+complexity=0 fallback, and conditioning under jitter."""
+import numpy as np
+import pytest
+
+from manifold_constrained_gaussian_process_inference_tpu.ops import kernels as K
+from manifold_constrained_gaussian_process_inference_tpu.ops.band import (
+    band_mask,
+    band_storage_matvec,
+    dense_to_band_storage,
+    mat2band,
+)
+from manifold_constrained_gaussian_process_inference_tpu.ops.gp_cov import (
+    build_gp_cov,
+    calculate_gp_covariances,
+    robust_spd_inverse,
+)
+
+
+@pytest.fixture
+def tvec():
+    return np.linspace(0.0, 4.0, 30)
+
+
+def _fd_dkdti(ktype, ti, tj, var, ell, h=1e-6):
+    def k(a, b):
+        return float(K.kernel_matrix(ktype, np.array([a, b]), var, ell)[0, 1])
+
+    return (k(ti + h, tj) - k(ti - h, tj)) / (2 * h)
+
+
+def _fd_d2kdtitj(ktype, ti, tj, var, ell, h=1e-4):
+    def k(a, b):
+        return float(K.kernel_matrix(ktype, np.array([a, b]), var, ell)[0, 1])
+
+    return (
+        k(ti + h, tj + h) - k(ti + h, tj - h) - k(ti - h, tj + h) + k(ti - h, tj - h)
+    ) / (4 * h * h)
+
+
+@pytest.mark.parametrize("ktype", ["matern52", "rbf"])
+def test_derivative_blocks_match_finite_differences(ktype, tvec):
+    """Numerical-vs-analytic derivative checks (test_gp.jl:118-139, 297-318)."""
+    var, ell = 1.3, 0.8
+    c, cp, cdd = K.cov_blocks(ktype, tvec, var, ell)
+    c, cp, cdd = map(np.asarray, (c, cp, cdd))
+    idx = [(0, 5), (3, 17), (10, 2), (25, 29)]
+    for i, j in idx:
+        fd1 = _fd_dkdti(ktype, tvec[i], tvec[j], var, ell)
+        assert np.isclose(cp[i, j], fd1, rtol=1e-4, atol=1e-6), (ktype, i, j)
+        fd2 = _fd_d2kdtitj(ktype, tvec[i], tvec[j], var, ell)
+        assert np.isclose(cdd[i, j], fd2, rtol=1e-3, atol=1e-4), (ktype, i, j)
+
+
+def test_matern52_cprime_antisymmetric_zero_diag(tvec):
+    # (test_gp.jl:100-111)
+    _, cp, _ = K.matern52_cov_blocks(tvec, 1.0, 0.5)
+    cp = np.asarray(cp)
+    assert np.allclose(np.diag(cp), 0.0)
+    assert np.allclose(cp, -cp.T)
+
+
+def test_matern52_cdoubleprime_symmetric_diag(tvec):
+    # diag C'' = 5 var / (3 l^2) (test_gp.jl:142-148)
+    var, ell = 2.0, 0.7
+    _, _, cdd = K.matern52_cov_blocks(tvec, var, ell)
+    cdd = np.asarray(cdd)
+    assert np.allclose(cdd, cdd.T)
+    assert np.allclose(np.diag(cdd), 5.0 * var / (3.0 * ell**2))
+
+
+def test_mphi_kphi_identities(tvec):
+    """mphi = C' Cinv; Kphi = C'' - mphi C'^T + jitter I (test_gp.jl:151-205)."""
+    jitter = 1e-6
+    d = calculate_gp_covariances(
+        "matern52", [1.0, 0.9], tvec, bandsize=len(tvec) - 1,
+        complexity=2, jitter=jitter,
+    )
+    n = len(tvec)
+    assert np.allclose(d["mphi"], d["Cprime"] @ d["Cinv"], atol=1e-8)
+    kphi_manual = (
+        d["Cdoubleprime"] - d["mphi"] @ d["Cprime"].T + jitter * np.eye(n)
+    )
+    kphi_manual = 0.5 * (kphi_manual + kphi_manual.T)
+    assert np.allclose(d["Kphi"], kphi_manual, atol=1e-8)
+    # Inverses really invert
+    assert np.allclose(d["Cinv"] @ (d["C"] + jitter * np.eye(n)), np.eye(n), atol=1e-5)
+    assert np.allclose(d["Kinv"] @ d["Kphi"], np.eye(n), atol=1e-4)
+
+
+def test_complexity_zero_fallback(tvec):
+    """complexity=0: mphi=0, Kphi=jitter*I (gaussian_process.jl:319-331;
+    test_gp.jl:417-465)."""
+    jitter = 1e-5
+    d = calculate_gp_covariances(
+        "matern52", [1.0, 0.9], tvec, bandsize=5, complexity=0, jitter=jitter
+    )
+    n = len(tvec)
+    assert np.allclose(d["mphi"], 0.0)
+    assert np.allclose(d["Kphi"], jitter * np.eye(n))
+    assert np.allclose(d["Kinv"], np.eye(n) / jitter)
+
+
+def test_band_truncation_semantics():
+    """mat2band drops off-band entries (test_gp_utils.jl:16-243)."""
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(7, 7))
+    b = mat2band(m, 2, 1)
+    for i in range(7):
+        for j in range(7):
+            inside = -2 <= (j - i) <= 1
+            assert b[i, j] == (m[i, j] if inside else 0.0)
+    # band 0 keeps only the diagonal
+    assert np.allclose(mat2band(m, 0, 0), np.diag(np.diag(m)))
+    # full band is identity operation
+    assert np.allclose(mat2band(m, 6, 6), m)
+
+
+def test_banded_vs_dense_agreement_within_band(tvec):
+    """Banded matvec == dense matvec when bandsize >= n-1
+    (test_gp.jl:208-252)."""
+    full = calculate_gp_covariances(
+        "matern52", [1.5, 0.6], tvec, bandsize=len(tvec) - 1, complexity=2
+    )
+    x = np.random.default_rng(0).normal(size=len(tvec))
+    assert np.allclose(full["Cinv_band"] @ x, full["Cinv"] @ x)
+    narrow = calculate_gp_covariances(
+        "matern52", [1.5, 0.6], tvec, bandsize=3, complexity=2
+    )
+    mask = band_mask(len(tvec), 3, 3)
+    assert np.allclose(narrow["Kinv_band"], np.where(mask, narrow["Kinv"], 0.0))
+
+
+def test_band_storage_layout_matvec():
+    """Diagonal-extracted band storage reproduces masked-dense matvec."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n, bw = 20, 4
+    m = rng.normal(size=(n, n))
+    mb = mat2band(m, bw, bw)
+    storage = dense_to_band_storage(mb, bw)
+    x = rng.normal(size=n)
+    y_ref = mb @ x
+    y = band_storage_matvec(jnp.asarray(storage), jnp.asarray(x), bw)
+    assert np.allclose(np.asarray(y), y_ref, atol=1e-12)
+
+
+def test_edge_cases_small_n():
+    """n=1, band 0 (test_gp.jl:467-586)."""
+    d = calculate_gp_covariances("matern52", [1.0, 1.0], np.array([0.5]), 0, complexity=2)
+    assert d["C"].shape == (1, 1)
+    assert np.isfinite(d["Kinv"]).all()
+
+
+def test_robust_spd_inverse_repairs_non_pd():
+    a = np.diag([1.0, 1e-18, -1e-9])
+    inv, j = robust_spd_inverse(a, 1e-6)
+    assert np.all(np.isfinite(inv))
+    # symmetric result
+    assert np.allclose(inv, inv.T)
+
+
+def test_conditioning_vs_jitter(tvec):
+    """cond(Kphi) finite and decreasing with jitter (test_gp.jl:695-825)."""
+    conds = []
+    for jit in [1e-6, 1e-4, 1e-2]:
+        d = calculate_gp_covariances(
+            "matern52", [1.0, 1.0], tvec, bandsize=len(tvec) - 1,
+            complexity=2, jitter=jit, check_eigenvalues=False,
+        )
+        conds.append(np.linalg.cond(d["Kphi"]))
+    assert conds[2] < conds[0]
+    assert conds[1] < 1e8  # reference asserts cond < 1e8 for jitter >= 1e-4
+
+
+def test_build_gp_cov_stack_shapes(tvec):
+    import jax.numpy as jnp
+
+    phi = np.array([[1.0, 2.0, 0.5], [0.5, 0.7, 1.1]])  # (2, D=3)
+    cov = build_gp_cov("matern52", phi, tvec, bandsize=50, complexity=2)
+    n = len(tvec)
+    assert cov.C.shape == (3, n, n)
+    assert cov.bandsize == n - 1  # clipped to n-1 (MagiJl.jl:459-461)
+    assert cov.phi.shape == (3, 2)
+    assert cov.Cinv_band.dtype == jnp.float64

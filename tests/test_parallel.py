@@ -1,0 +1,71 @@
+"""Multi-device chain parallelism tests on the virtual 8-device CPU mesh.
+No reference analogue (the reference is single-process; SURVEY.md sec. 2.4) —
+this is the TPU-native capability the framework adds."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
+    make_chain_mesh,
+    run_chains,
+)
+
+
+@pytest.fixture(scope="module")
+def vg():
+    return jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_chains_deterministic_and_statistically_equivalent(vg):
+    """The sharded run must be (a) bitwise deterministic across executions
+    and (b) statistically indistinguishable from the single-device vmap run.
+    (Bitwise vmap-vs-shard_map equality does NOT hold: the two XLA programs
+    fuse differently, and NUTS trajectories are chaotic in the last ulp.)"""
+    dim, n_chains = 3, 8
+    psi0 = jnp.zeros((n_chains, dim))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    s_vmap, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=None)
+    mesh = make_chain_mesh(8)
+    s_shard, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=mesh)
+    s_shard2, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=mesh)
+    assert np.array_equal(np.asarray(s_shard), np.asarray(s_shard2))
+    a = np.asarray(s_vmap).reshape(-1, dim)
+    b = np.asarray(s_shard).reshape(-1, dim)
+    assert np.all(np.abs(a.mean(0) - b.mean(0)) < 0.15)
+    assert np.all(np.abs(a.std(0) - b.std(0)) < 0.2)
+
+
+def test_sharded_multiple_chains_per_device(vg):
+    mesh = make_chain_mesh(4)
+    psi0 = jnp.zeros((8, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    s, info = run_chains(vg, psi0, keys, n_samples=20, n_adapts=10, mesh=mesh)
+    assert s.shape == (8, 10, 2)
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_chain_count_mesh_mismatch_raises(vg):
+    mesh = make_chain_mesh(8)
+    psi0 = jnp.zeros((6, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), 6)
+    with pytest.raises(ValueError):
+        run_chains(vg, psi0, keys, n_samples=4, n_adapts=2, mesh=mesh)
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    v, g = out
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))
+    ge.dryrun_multichip(8)

@@ -1,0 +1,90 @@
+"""Postprocessing tests — dummy-results fixture like the reference's
+test/test_postprocessing.jl, plus analytic checks of ESS/R-hat that the
+reference (delegating to MCMCChains) never had."""
+import numpy as np
+import pytest
+
+from manifold_constrained_gaussian_process_inference_tpu.inference.solve import (
+    MagiResult,
+)
+from manifold_constrained_gaussian_process_inference_tpu.postprocess import (
+    ess,
+    magi_summary,
+    results_to_chain,
+    split_rhat,
+    summarize_chains,
+)
+
+
+@pytest.fixture
+def dummy_results(rng):
+    s, n, d, k = 200, 11, 2, 3
+    theta = rng.normal(size=(s, k)) * 0.1 + np.array([0.2, 0.2, 3.0])
+    return MagiResult(
+        theta=theta,
+        x_sampled=rng.normal(size=(s, n, d)),
+        sigma=np.abs(rng.normal(size=(s, d)) * 0.05 + 0.2),
+        phi=np.array([[1.0, 1.0], [0.5, 0.5]]),
+        lp=rng.normal(size=s) - 100,
+        diagnostics={"n_chains": 1},
+    )
+
+
+def test_results_to_chain_names_and_shapes(dummy_results):
+    chain = results_to_chain(dummy_results, include_sigma=True, include_lp=True)
+    assert chain["names"] == [
+        "theta[1]", "theta[2]", "theta[3]", "sigma[1]", "sigma[2]", "lp",
+    ]
+    assert chain["samples"].shape == (1, 200, 6)
+    named = results_to_chain(dummy_results, par_names=["a", "b", "c"])
+    assert named["names"] == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        results_to_chain(dummy_results, par_names=["a"])
+
+
+def test_summary_values(dummy_results):
+    summary = magi_summary(dummy_results, include_sigma=True, print_summary=False)
+    i = summary["names"].index("theta[3]")
+    assert abs(summary["mean"][i] - 3.0) < 0.05
+    assert summary["q0.025"][i] < summary["q0.5"][i] < summary["q0.975"][i]
+    assert np.all(np.asarray(summary["ess"]) > 10)
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 500))
+    e = ess(x)
+    assert 1200 < e < 2800  # ~2000 for iid
+
+
+def test_ess_detects_autocorrelation():
+    rng = np.random.default_rng(1)
+    c, s, rho = 4, 800, 0.95
+    x = np.zeros((c, s))
+    for i in range(1, s):
+        x[:, i] = rho * x[:, i - 1] + rng.normal(size=c) * np.sqrt(1 - rho**2)
+    e = ess(x)
+    # theoretical ESS factor (1-rho)/(1+rho) ~ 0.026 -> ~82 of 3200
+    assert e < 400
+
+
+def test_split_rhat_detects_nonconvergence():
+    rng = np.random.default_rng(2)
+    good = rng.normal(size=(4, 400))
+    assert abs(split_rhat(good) - 1.0) < 0.05
+    bad = good.copy()
+    bad[0] += 5.0  # one chain stuck elsewhere
+    assert split_rhat(bad) > 1.5
+
+
+def test_plot_magi_smoke(dummy_results, tmp_path):
+    pytest.importorskip("matplotlib")
+    from manifold_constrained_gaussian_process_inference_tpu.postprocess import (
+        plot_magi,
+    )
+
+    fig = plot_magi(dummy_results, type="traj", save_path=str(tmp_path / "traj.png"))
+    assert (tmp_path / "traj.png").exists()
+    fig2 = plot_magi(dummy_results, type="trace", include_sigma=True)
+    with pytest.raises(ValueError):
+        plot_magi(dummy_results, type="nope")
