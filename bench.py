@@ -108,7 +108,7 @@ def bench_device_grad(target, psi0, n_evals=3000):
     return n_evals / dt
 
 
-def bench_nuts_ess(target, psi0, n_chains=8, n_samples=1500, n_adapts=750):
+def bench_nuts_ess(target, psi0, n_chains=4, n_samples=600, n_adapts=300):
     import jax
     import jax.numpy as jnp
 
@@ -272,20 +272,31 @@ def main():
     dev_rate = bench_device_grad(target, psi0)
     log(f"device grad rate: {dev_rate:,.0f} evals/s; cpu reference rate: {cpu_rate:,.0f} evals/s")
 
-    nuts = bench_nuts_ess(target, psi0)
-    log(f"nuts: {nuts}")
-
     result = {
         "metric": "fused log-posterior value+grad evals/sec (FN NUTS workload, n=397, D=2)",
         "value": round(dev_rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(dev_rate / cpu_rate, 2),
         "baseline_cpu_evals_per_sec": round(cpu_rate, 1),
-        "ess_per_sec_min_theta": round(nuts["ess_per_sec"], 2),
-        "nuts_grad_evals_per_sec": round(nuts["grad_evals_per_sec"], 1),
-        "nuts_divergences": nuts["divergences"],
         "value_check_rel_err": rel,
+        "grad_check_max_rel_err": gerr,
     }
+
+    # The multi-chain NUTS stage is informative but must not take the whole
+    # bench down (long single XLA executions have crashed the remote TPU
+    # worker before) — degrade gracefully.
+    try:
+        nuts = bench_nuts_ess(target, psi0)
+        log(f"nuts: {nuts}")
+        result.update(
+            ess_per_sec_min_theta=round(nuts["ess_per_sec"], 2),
+            nuts_grad_evals_per_sec=round(nuts["grad_evals_per_sec"], 1),
+            nuts_divergences=nuts["divergences"],
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"NUTS stage failed: {type(e).__name__}: {e}")
+        result["nuts_stage_error"] = f"{type(e).__name__}"
+
     print(json.dumps(result))
 
 

@@ -23,7 +23,14 @@ import numpy as np
 
 from ..models.base import OdeSystem
 from ..ops.gp_cov import GPCov
-from ..ops.likelihood import LikelihoodData, log_posterior, make_likelihood_data
+from ..ops.likelihood import (
+    BandedLikelihoodData,
+    LikelihoodData,
+    log_posterior,
+    log_posterior_banded,
+    make_banded_likelihood_data,
+    make_likelihood_data,
+)
 
 LOG_SIGMA_CLAMP = 15.0  # parity: logdensityproblems_interface.jl:134,200
 
@@ -37,12 +44,14 @@ class MagiTarget:
     """
 
     system: OdeSystem
-    data: LikelihoodData
+    data: object  # LikelihoodData | BandedLikelihoodData
     sigma_init: jnp.ndarray
     n_times: int
     n_dims: int
     n_params_ode: int
     sigma_is_fixed: bool
+    bandwidth: int = 0
+    use_pallas: bool = False
 
     @classmethod
     def build(
@@ -54,8 +63,22 @@ class MagiTarget:
         prior_temperature,
         sigma_is_fixed: bool,
         dtype=None,
+        band_impl: str = "dense",
     ) -> "MagiTarget":
-        data = make_likelihood_data(yobs, gp_cov, prior_temperature, dtype=dtype)
+        """band_impl selects the hot-path memory layout:
+        - "dense": (D, n, n) band-masked dense einsums (MXU; best for
+          moderate n)
+        - "band": (D, 2b+1, n) diagonal storage, XLA roll contraction
+        - "pallas": band storage through the Pallas TPU kernel
+        """
+        if band_impl == "dense":
+            data = make_likelihood_data(yobs, gp_cov, prior_temperature, dtype=dtype)
+        elif band_impl in ("band", "pallas"):
+            data = make_banded_likelihood_data(
+                yobs, gp_cov, prior_temperature, dtype=dtype
+            )
+        else:
+            raise ValueError(f"unknown band_impl '{band_impl}'")
         n, d = np.asarray(yobs).shape
         return cls(
             system=system,
@@ -67,6 +90,8 @@ class MagiTarget:
             n_dims=d,
             n_params_ode=system.theta_size,
             sigma_is_fixed=sigma_is_fixed,
+            bandwidth=gp_cov.bandsize,
+            use_pallas=band_impl == "pallas",
         )
 
     @property
@@ -111,6 +136,8 @@ class MagiTarget:
         sigma_fixed = self.sigma_init
         fixed = self.sigma_is_fixed
         unpack = self.unpack
+        banded = isinstance(data, BandedLikelihoodData)
+        bandwidth, use_pallas = self.bandwidth, self.use_pallas
 
         def logdensity(psi):
             x, theta, log_sigma = unpack(psi)
@@ -121,7 +148,13 @@ class MagiTarget:
                 clamped = jnp.clip(log_sigma, -LOG_SIGMA_CLAMP, LOG_SIGMA_CLAMP)
                 sigma = jnp.exp(clamped)
                 jac = jnp.sum(clamped)
-            return log_posterior(x, theta, sigma, data, system.f) + jac
+            if banded:
+                ll = log_posterior_banded(
+                    x, theta, sigma, data, system.f, bandwidth, use_pallas
+                )
+            else:
+                ll = log_posterior(x, theta, sigma, data, system.f)
+            return ll + jac
 
         return logdensity
 

@@ -57,6 +57,8 @@ class GPCov(NamedTuple):
     Cinv_band: jnp.ndarray
     mphi_band: jnp.ndarray
     Kinv_band: jnp.ndarray
+    Cinv_band_chol: jnp.ndarray
+    Kinv_band_chol: jnp.ndarray
     mu: jnp.ndarray
     dotmu: jnp.ndarray
     bandsize: int
@@ -68,6 +70,53 @@ class GPCov(NamedTuple):
     @property
     def n_dims(self) -> int:
         return self.C.shape[0]
+
+
+def banded_cholesky(a_band: np.ndarray, bandwidth: int, max_tries: int = 10):
+    """Lower Cholesky factor of a band-masked SPD matrix (host, float64).
+
+    The factor of a matrix with bandwidth b is itself lower-banded with
+    bandwidth b, so quadratic forms x' A x = ||L' x||^2 keep the O(n*b)
+    structure. Truncating a PD matrix to a band can lose definiteness;
+    repaired deterministically by escalating a relative diagonal jitter.
+    Returns (L, jitter_used).
+
+    Why factors at all: the hot path runs in float32 on TPU, and the MAGI
+    derivative term e' Kinv e has Kinv entries ~1/jitter (Kphi condition
+    numbers ~1e8, test_gp.jl:695-825). Computed via the inverse directly
+    the f32 value loses ~1e-1 relative accuracy (measured); as a sum of
+    squares it is accurate to ~n*eps.
+    """
+    a_band = np.asarray(a_band, dtype=np.float64)
+    n = a_band.shape[0]
+    scale = float(np.max(np.abs(np.diagonal(a_band)))) or 1.0
+    for trial in range(max_tries):
+        j = 0.0 if trial == 0 else scale * 1e-14 * (10.0 ** (trial - 1))
+        try:
+            chol = np.linalg.cholesky(a_band + j * np.eye(n))
+            if j > 0:
+                logger.warning(
+                    "banded_cholesky: banded truncation lost definiteness; "
+                    "repaired with relative jitter %.3e.", j / scale,
+                )
+            return mat2band(chol, bandwidth, 0), j
+        except np.linalg.LinAlgError:
+            continue
+    # Last resort: shift the diagonal by |lambda_min| + margin. Keeps the
+    # factor exactly banded (unlike an eigenvalue floor) so the dense and
+    # band-storage execution paths stay bit-compatible. The shift changes
+    # the truncated quadratic form — acceptable: aggressive truncation has
+    # already left reference semantics (an indefinite "precision" matrix),
+    # and full-band inputs never reach this path.
+    sym = 0.5 * (a_band + a_band.T)
+    lam_min = float(np.linalg.eigvalsh(sym).min())
+    shift = max(0.0, -lam_min) + scale * 1e-10
+    logger.warning(
+        "banded_cholesky: diagonal-shift fallback engaged "
+        "(lambda_min=%.3e, shift=%.3e).", lam_min, shift,
+    )
+    chol = np.linalg.cholesky(sym + shift * np.eye(n))
+    return mat2band(chol, bandwidth, 0), shift
 
 
 def robust_spd_inverse(a: np.ndarray, jitter: float, max_tries: int = 8):
@@ -156,6 +205,11 @@ def calculate_gp_covariances(
         kphi = jitter * np.eye(n)
         kinv = (1.0 / jitter) * np.eye(n)
 
+    cinv_band = mat2band(cinv, l, u)
+    kinv_band = mat2band(kinv, l, u)
+    cinv_band_chol, _ = banded_cholesky(cinv_band, l)
+    kinv_band_chol, _ = banded_cholesky(kinv_band, l)
+
     return dict(
         phi=phi,
         tvec=tvec,
@@ -166,9 +220,11 @@ def calculate_gp_covariances(
         mphi=mphi,
         Kphi=kphi,
         Kinv=kinv,
-        Cinv_band=mat2band(cinv, l, u),
+        Cinv_band=cinv_band,
         mphi_band=mat2band(mphi, l, u),
-        Kinv_band=mat2band(kinv, l, u),
+        Kinv_band=kinv_band,
+        Cinv_band_chol=cinv_band_chol,
+        Kinv_band_chol=kinv_band_chol,
         mu=np.zeros(n),
         dotmu=np.zeros(n),
         bandsize=int(bandsize),
@@ -226,6 +282,8 @@ def build_gp_cov(
         Cinv_band=stack("Cinv_band"),
         mphi_band=stack("mphi_band"),
         Kinv_band=stack("Kinv_band"),
+        Cinv_band_chol=stack("Cinv_band_chol"),
+        Kinv_band_chol=stack("Kinv_band_chol"),
         mu=stack("mu"),
         dotmu=stack("dotmu"),
         bandsize=bs,

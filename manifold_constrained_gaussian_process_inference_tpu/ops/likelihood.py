@@ -41,7 +41,14 @@ class LikelihoodData(NamedTuple):
     mask:        (n, D) 1.0 where the observation is finite, else 0.0
     nobs:        (D,)   number of finite observations per dimension
     tvec:        (n,)
-    Cinv, mphi, Kinv: (D, n, n) band-masked stacks
+    mphi:        (D, n, n) band-masked stack
+    GCt, GKt:    (D, n, n) UPPER-banded transposed Cholesky factors of the
+                 band-masked Cinv / Kinv stacks: Cinv_band = GC GC',
+                 Kinv_band = GK GK'. Quadratic forms are computed as sums of
+                 squares ||GCt x||^2 / ||GKt e||^2 — algebraically equal to
+                 x' Cinv_band x / e' Kinv_band e but float32-stable on TPU
+                 (the inverse-based form loses ~1e-1 relative accuracy at
+                 Kinv scales ~1/jitter; measured on a v5e).
     beta:        (3,)   [beta_deriv, beta_level, beta_obs]
     """
 
@@ -49,9 +56,9 @@ class LikelihoodData(NamedTuple):
     mask: jnp.ndarray
     nobs: jnp.ndarray
     tvec: jnp.ndarray
-    Cinv: jnp.ndarray
     mphi: jnp.ndarray
-    Kinv: jnp.ndarray
+    GCt: jnp.ndarray
+    GKt: jnp.ndarray
     beta: jnp.ndarray
 
 
@@ -72,9 +79,9 @@ def make_likelihood_data(
         mask=jnp.asarray(mask.astype(np.float64), dtype=dtype),
         nobs=jnp.asarray(mask.sum(axis=0).astype(np.float64), dtype=dtype),
         tvec=gp_cov.tvec.astype(dtype),
-        Cinv=gp_cov.Cinv_band.astype(dtype),
         mphi=gp_cov.mphi_band.astype(dtype),
-        Kinv=gp_cov.Kinv_band.astype(dtype),
+        GCt=jnp.swapaxes(gp_cov.Cinv_band_chol, -1, -2).astype(dtype),
+        GKt=jnp.swapaxes(gp_cov.Kinv_band_chol, -1, -2).astype(dtype),
         beta=jnp.asarray(np.asarray(prior_temperature, dtype=np.float64), dtype=dtype),
     )
 
@@ -99,8 +106,10 @@ def log_posterior(
     # Batched band matvecs: out[i, d] = sum_j A[d, i, j] v[j, d].
     mphi_x = jnp.einsum("dij,jd->id", data.mphi, x)
     e_deriv = f - mphi_x
-    k_e = jnp.einsum("dij,jd->id", data.Kinv, e_deriv)
-    c_x = jnp.einsum("dij,jd->id", data.Cinv, x)
+    # Quadratic forms as sums of squares via the banded factors (see
+    # LikelihoodData docstring): e' Kinv e = ||GKt e||^2, x' Cinv x = ||GCt x||^2.
+    gk_e = jnp.einsum("dij,jd->id", data.GKt, e_deriv)
+    gc_x = jnp.einsum("dij,jd->id", data.GCt, x)
 
     # Observation term (NaN-masked; -0.5 N_d log(2 pi sigma_d^2) only when
     # the dimension has observations — likelihoods.jl:139-143).
@@ -110,8 +119,111 @@ def log_posterior(
         LOG_2PI + jnp.log(sigma_sq)
     ) * (data.nobs > 0)
 
-    ll_deriv = -0.5 * jnp.sum(e_deriv * k_e, axis=0)  # (D,)
-    ll_level = -0.5 * jnp.sum(x * c_x, axis=0)  # (D,)
+    ll_deriv = -0.5 * jnp.sum(gk_e * gk_e, axis=0)  # (D,)
+    ll_level = -0.5 * jnp.sum(gc_x * gc_x, axis=0)  # (D,)
+
+    return (
+        jnp.sum(ll_obs) / beta_obs
+        + jnp.sum(ll_deriv) / beta_deriv
+        + jnp.sum(ll_level) / beta_level
+    )
+
+
+class BandedLikelihoodData(NamedTuple):
+    """Band-storage variant of LikelihoodData for large grids.
+
+    The (D, n, n) stacks become (D, 2b+1, n) diagonal-extracted storage
+    (ops/band.py) — O(n*b) HBM per evaluation instead of O(n^2). *_t fields
+    hold the transposed operators' storage for the custom VJP.
+    """
+
+    yobs_filled: jnp.ndarray
+    mask: jnp.ndarray
+    nobs: jnp.ndarray
+    tvec: jnp.ndarray
+    mphi_bs: jnp.ndarray
+    mphi_t_bs: jnp.ndarray
+    GKt_bs: jnp.ndarray
+    GK_bs: jnp.ndarray
+    GCt_bs: jnp.ndarray
+    GC_bs: jnp.ndarray
+    beta: jnp.ndarray
+
+
+def make_banded_likelihood_data(
+    yobs: np.ndarray,
+    gp_cov: GPCov,
+    prior_temperature,
+    dtype=None,
+) -> BandedLikelihoodData:
+    from .band import dense_to_band_storage
+    from .pallas_band import transpose_band_storage
+
+    if dtype is None:
+        dtype = gp_cov.Cinv_band.dtype
+    yobs = np.asarray(yobs, dtype=np.float64)
+    mask = np.isfinite(yobs)
+    b = gp_cov.bandsize
+
+    def storage(stack):
+        arr = np.asarray(stack, dtype=np.float64)
+        return np.stack([dense_to_band_storage(a, b) for a in arr])
+
+    def storage_t(bs):
+        return np.stack([transpose_band_storage(a, b) for a in bs])
+
+    mphi_bs = storage(gp_cov.mphi_band)
+    gk_bs = storage(gp_cov.Kinv_band_chol)       # lower factor GK
+    gc_bs = storage(gp_cov.Cinv_band_chol)
+    gkt_bs = storage_t(gk_bs)                    # GK^T (upper)
+    gct_bs = storage_t(gc_bs)
+
+    j = lambda a: jnp.asarray(a, dtype=dtype)
+    return BandedLikelihoodData(
+        yobs_filled=j(np.where(mask, yobs, 0.0)),
+        mask=j(mask.astype(np.float64)),
+        nobs=j(mask.sum(axis=0).astype(np.float64)),
+        tvec=gp_cov.tvec.astype(dtype),
+        mphi_bs=j(mphi_bs),
+        mphi_t_bs=j(storage_t(mphi_bs)),
+        GKt_bs=j(gkt_bs),
+        GK_bs=j(gk_bs),
+        GCt_bs=j(gct_bs),
+        GC_bs=j(gc_bs),
+        beta=j(np.asarray(prior_temperature, dtype=np.float64)),
+    )
+
+
+def log_posterior_banded(
+    x: jnp.ndarray,
+    theta: jnp.ndarray,
+    sigma: jnp.ndarray,
+    data: BandedLikelihoodData,
+    ode_f: Callable,
+    bandwidth: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """log_posterior computed through band-storage matvecs (same math as
+    log_posterior; O(n*b) memory traffic; Pallas kernel on TPU)."""
+    from .pallas_band import band_matvec
+
+    beta_deriv, beta_level, beta_obs = data.beta[0], data.beta[1], data.beta[2]
+    sigma_sq = sigma * sigma
+    f = ode_f(x, theta, data.tvec)  # (n, D)
+
+    xt = x.T  # (D, n)
+    mphi_x = band_matvec(data.mphi_bs, data.mphi_t_bs, xt, bandwidth, use_pallas)
+    e_deriv = f.T - mphi_x
+    gk_e = band_matvec(data.GKt_bs, data.GK_bs, e_deriv, bandwidth, use_pallas)
+    gc_x = band_matvec(data.GCt_bs, data.GC_bs, xt, bandwidth, use_pallas)
+
+    resid = data.mask * (x - data.yobs_filled)
+    sse = jnp.sum(resid * resid, axis=0)
+    ll_obs = -0.5 * sse / sigma_sq - 0.5 * data.nobs * (
+        LOG_2PI + jnp.log(sigma_sq)
+    ) * (data.nobs > 0)
+    ll_deriv = -0.5 * jnp.sum(gk_e * gk_e, axis=1)
+    ll_level = -0.5 * jnp.sum(gc_x * gc_x, axis=1)
 
     return (
         jnp.sum(ll_obs) / beta_obs
