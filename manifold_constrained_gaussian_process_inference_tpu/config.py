@@ -75,6 +75,9 @@ class MagiConfig:
     max_tree_depth: int = 10
     seed: int = 0
     dtype: Optional[jnp.dtype] = None
+    # Hot-path memory layout: "auto" picks dense einsums for moderate grids
+    # and the band-storage path (Pallas kernel on TPU) for large ones.
+    band_impl: str = "auto"
 
     def resolved_dtype(self) -> jnp.dtype:
         return self.dtype if self.dtype is not None else default_dtype()

@@ -1,4 +1,11 @@
 from .adapt import build_window_schedule  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    SamplerCheckpoint,
+    checkpoint_from_result,
+    load_checkpoint,
+    run_chains_resumed,
+    save_checkpoint,
+)
 from .nlml import negative_log_marginal_likelihood, optimize_gp_hyperparameters  # noqa: F401
 from .nuts import nuts_transition, run_nuts  # noqa: F401
 from .solve import MagiError, MagiResult, solve_magi  # noqa: F401

@@ -1,0 +1,137 @@
+"""Checkpoint / resume for long MCMC runs.
+
+The reference has NO checkpointing (SURVEY.md section 5.4): its only
+warm-start is the ``initial_params`` kwarg. Here the full sampler state —
+positions, adapted step sizes, adapted inverse metrics, and PRNG keys for
+every chain — round-trips through a single ``.npz`` file, so a run can be
+split across sessions/preemptions and continue *sampling* without repeating
+warmup.
+
+Protocol:
+  state = solve_magi(...)                # via MagiResult.diagnostics
+  save_checkpoint(path, checkpoint_from_result(result))
+  ckpt = load_checkpoint(path)
+  run_chains_resumed(vg, ckpt, n_more, ...)  # or solve_magi(..., resume=ckpt)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SamplerCheckpoint:
+    """Everything needed to continue sampling (post-warmup)."""
+
+    psi: np.ndarray        # (C, dim) final positions
+    step_size: np.ndarray  # (C,) adapted step sizes
+    inv_mass: np.ndarray   # (C, dim) adapted inverse metrics
+    key: np.ndarray        # (C, 2) uint32 PRNG keys
+    n_samples_drawn: int = 0
+    meta: Optional[Dict] = None
+
+
+def checkpoint_from_result(result, samples_per_chain: Optional[np.ndarray] = None) -> SamplerCheckpoint:
+    """Build a checkpoint from a finished MagiResult."""
+    d = result.diagnostics
+    n_chains = int(d["n_chains"])
+    lp_pc = np.asarray(d["lp_per_chain"])
+    n_keep = lp_pc.shape[-1] if lp_pc.ndim > 1 else lp_pc.shape[0]
+    psi = np.asarray(d["final_psi"])
+    return SamplerCheckpoint(
+        psi=psi,
+        step_size=np.atleast_1d(np.asarray(d["step_size"])),
+        inv_mass=np.atleast_2d(np.asarray(d["inv_mass"])),
+        key=np.asarray(d["final_key"]),
+        n_samples_drawn=n_chains * n_keep,
+        meta={"n_chains": n_chains},
+    )
+
+
+def save_checkpoint(path: str, ckpt: SamplerCheckpoint) -> None:
+    np.savez(
+        path,
+        psi=ckpt.psi,
+        step_size=ckpt.step_size,
+        inv_mass=ckpt.inv_mass,
+        key=ckpt.key,
+        n_samples_drawn=np.asarray(ckpt.n_samples_drawn),
+    )
+
+
+def load_checkpoint(path: str) -> SamplerCheckpoint:
+    with np.load(path) as z:
+        return SamplerCheckpoint(
+            psi=z["psi"],
+            step_size=z["step_size"],
+            inv_mass=z["inv_mass"],
+            key=z["key"].astype(np.uint32),
+            n_samples_drawn=int(z["n_samples_drawn"]),
+        )
+
+
+def run_chains_resumed(
+    vg: Callable,
+    ckpt: SamplerCheckpoint,
+    n_samples: int,
+    max_depth: int = 10,
+    dtype=None,
+):
+    """Continue sampling from a checkpoint: no warmup, frozen step size and
+    metric (Stan's post-warmup semantics). Returns (samples (C, S, dim),
+    info, new_checkpoint)."""
+    from .nuts import ChainState, nuts_transition
+
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+
+    psi = jnp.asarray(ckpt.psi, dtype)
+    eps = jnp.asarray(ckpt.step_size, dtype)
+    inv_mass = jnp.asarray(ckpt.inv_mass, dtype)
+    keys = jnp.asarray(ckpt.key)
+
+    def one_chain(q0, key, eps_c, inv_mass_c):
+        logp0, grad0 = vg(q0)
+
+        def step(chain, _):
+            key, k_step = jax.random.split(chain.key)
+            q, logp, grad, stats = nuts_transition(
+                vg, chain.q, chain.logp, chain.grad, k_step, eps_c,
+                inv_mass_c, max_depth=max_depth,
+            )
+            return ChainState(q=q, logp=logp, grad=grad, key=key), (q, logp, stats)
+
+        final, (qs, lps, stats) = jax.lax.scan(
+            step, ChainState(q=q0, logp=logp0, grad=grad0, key=key),
+            None, length=n_samples,
+        )
+        return qs, lps, stats, final.q, final.key
+
+    qs, lps, stats, final_q, final_key = jax.jit(jax.vmap(one_chain))(
+        psi, keys, eps, inv_mass
+    )
+    info = {
+        "lp": lps,
+        "accept_prob": stats.accept_prob,
+        "num_leapfrog": stats.num_leapfrog,
+        "tree_depth": stats.tree_depth,
+        "diverging": stats.diverging,
+        "energy": stats.energy,
+        "step_size": eps,
+        "inv_mass": inv_mass,
+    }
+    new_ckpt = SamplerCheckpoint(
+        psi=np.asarray(final_q),
+        step_size=np.asarray(eps),
+        inv_mass=np.asarray(inv_mass),
+        key=np.asarray(final_key),
+        n_samples_drawn=ckpt.n_samples_drawn + int(qs.shape[0] * qs.shape[1]),
+        meta=ckpt.meta,
+    )
+    return qs, info, new_ckpt

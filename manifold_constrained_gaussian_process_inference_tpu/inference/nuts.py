@@ -461,10 +461,12 @@ def run_nuts(
         )
         return ChainState(q=q, logp=logp, grad=grad, key=key), (q, logp, stats)
 
-    _, (samples, lp, stats) = lax.scan(
+    final_chain, (samples, lp, stats) = lax.scan(
         sample_step, carry.chain, None, length=n_keep
     )
     info = {
+        "final_psi": final_chain.q,
+        "final_key": final_chain.key,
         "lp": lp,
         "accept_prob": stats.accept_prob,
         "num_leapfrog": stats.num_leapfrog,

@@ -143,6 +143,19 @@ def solve_magi(
     k = ode_system.theta_size
     dtype = config.resolved_dtype()
 
+    kernel_type = config.kernel
+    try:
+        from ..ops.kernels import parse_kernel_type
+
+        parse_kernel_type(kernel_type)
+    except ValueError:
+        logger.warning(
+            "Unsupported kernel type '%s'. Defaulting to matern52 "
+            "(parity MagiJl.jl:477-479).", kernel_type,
+        )
+        kernel_type = "matern52"
+        config = dataclasses.replace(config, kernel="matern52")
+
     logger.info(
         "MAGI solve: n=%d, D=%d, k=%d, kernel=%s, dtype=%s",
         n_times, n_dims, k, config.kernel, np.dtype(dtype).name,
@@ -233,9 +246,21 @@ def solve_magi(
             "broadcasting scalar (parity MagiJl.jl:498-505)."
         )
         prior_temps = np.full(3, float(np.atleast_1d(prior_temps)[0]))
+    band_impl = config.band_impl
+    if band_impl == "auto":
+        # Dense (D, n, n) einsums ride the MXU and win for moderate n; the
+        # O(n*b) band-storage path wins once n^2 HBM traffic dominates.
+        if n_times <= 1024:
+            band_impl = "dense"
+        else:
+            from ..ops.pallas_band import _tpu_available
+
+            band_impl = "pallas" if _tpu_available() else "band"
+    logger.info("band_impl: %s (bandsize %d)", band_impl, gp_cov.bandsize)
+
     target = MagiTarget.build(
         y_obs, gp_cov, ode_system, sigma_init, prior_temps,
-        sigma_is_fixed, dtype=dtype,
+        sigma_is_fixed, dtype=dtype, band_impl=band_impl,
     )
 
     # --- Psi_0 assembly (MagiJl.jl:526-569) ---
@@ -311,6 +336,8 @@ def solve_magi(
         "inv_mass": np.asarray(info["inv_mass"]),
         "n_divergent": n_div,
         "n_chains": n_chains,
+        "final_psi": np.asarray(info["final_psi"]),
+        "final_key": np.asarray(info["final_key"]),
         "lp_per_chain": np.asarray(info["lp"]),
         "theta_per_chain": samples[:, :, n_times * n_dims : n_times * n_dims + k],
         "sampling_time_s": sampling_time,

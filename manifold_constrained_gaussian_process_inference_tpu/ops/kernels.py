@@ -103,17 +103,29 @@ def _tdiff(tvec):
     return t - t.T  # (n, n), entry [i, j] = t_i - t_j
 
 
+def parse_kernel_type(kernel_type: str):
+    """Normalize a kernel spec. "matern52" | "rbf" | "matern-<nu>" (general
+    half-integer Matern, e.g. "matern-1.5"). Returns (name, nu_or_None)."""
+    if kernel_type in _SUPPORTED_KERNELS:
+        return kernel_type, None
+    if kernel_type.startswith("matern-"):
+        return "matern", float(kernel_type.split("-", 1)[1])
+    raise ValueError(
+        f"Unsupported kernel type '{kernel_type}'. Supported: "
+        f"{_SUPPORTED_KERNELS} or 'matern-<nu>' with half-integer nu."
+    )
+
+
 def kernel_matrix(kernel_type: str, tvec, variance, lengthscale):
     """Dense covariance C[i,j] = k(|t_i - t_j|)."""
     xp = _xp(tvec, variance, lengthscale)
     r = xp.abs(_tdiff(tvec))
-    if kernel_type == "matern52":
+    name, nu = parse_kernel_type(kernel_type)
+    if name == "matern52":
         return matern52_k(r, variance, lengthscale)
-    if kernel_type == "rbf":
+    if name == "rbf":
         return rbf_k(r, variance, lengthscale)
-    raise ValueError(
-        f"Unsupported kernel type '{kernel_type}'. Supported: {_SUPPORTED_KERNELS}"
-    )
+    return general_matern_k(r, variance, lengthscale, nu)
 
 
 def matern52_cov_blocks(tvec, variance, lengthscale) -> Tuple:
@@ -169,6 +181,16 @@ def cov_blocks(kernel_type: str, tvec, variance, lengthscale) -> Tuple:
         return matern52_cov_blocks(tvec, variance, lengthscale)
     if kernel_type == "rbf":
         return rbf_cov_blocks(tvec, variance, lengthscale)
+    # Parity with the reference's unsupported-derivative fallback: C is
+    # computed, C'/C'' stay zero (gaussian_process.jl:264-288) and Kphi
+    # collapses to jitter*I downstream.
+    import warnings
+
+    warnings.warn(
+        f"Time-derivative blocks not implemented for kernel "
+        f"'{kernel_type}'; derivatives set to zero (Kphi -> jitter*I).",
+        stacklevel=2,
+    )
     xp = _xp(tvec, variance, lengthscale)
     c = kernel_matrix(kernel_type, tvec, variance, lengthscale)
     z = xp.zeros_like(c)

@@ -1,0 +1,94 @@
+"""Checkpoint/resume tests (new capability; the reference has none —
+SURVEY.md section 5.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manifold_constrained_gaussian_process_inference_tpu.inference.checkpoint import (
+    SamplerCheckpoint,
+    load_checkpoint,
+    run_chains_resumed,
+    save_checkpoint,
+)
+from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
+    run_chains,
+)
+
+
+def _vg():
+    return jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ck = SamplerCheckpoint(
+        psi=np.ones((2, 3)),
+        step_size=np.array([0.5, 0.6]),
+        inv_mass=np.ones((2, 3)) * 2.0,
+        key=np.asarray(jax.random.split(jax.random.PRNGKey(0), 2)),
+        n_samples_drawn=40,
+    )
+    p = tmp_path / "ck.npz"
+    save_checkpoint(str(p), ck)
+    back = load_checkpoint(str(p))
+    assert np.array_equal(back.psi, ck.psi)
+    assert np.array_equal(back.step_size, ck.step_size)
+    assert np.array_equal(back.inv_mass, ck.inv_mass)
+    assert np.array_equal(back.key, ck.key)
+    assert back.n_samples_drawn == 40
+
+
+def test_resume_continues_sampling(tmp_path):
+    """Warmup once, then two resumed legs; the resumed sampler keeps the
+    adapted step size/metric and produces valid draws."""
+    vg = _vg()
+    dim, n_chains = 3, 2
+    psi0 = jnp.zeros((n_chains, dim))
+    keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
+    samples, info = run_chains(vg, psi0, keys, n_samples=300, n_adapts=200)
+
+    ck = SamplerCheckpoint(
+        psi=np.asarray(info["final_psi"]),
+        step_size=np.atleast_1d(np.asarray(info["step_size"])),
+        inv_mass=np.asarray(info["inv_mass"]),
+        key=np.asarray(info["final_key"]),
+        n_samples_drawn=int(np.prod(samples.shape[:2])),
+    )
+    save_checkpoint(str(tmp_path / "ck.npz"), ck)
+    ck1 = load_checkpoint(str(tmp_path / "ck.npz"))
+
+    s1, info1, ck2 = run_chains_resumed(vg, ck1, n_samples=400)
+    assert s1.shape == (n_chains, 400, dim)
+    assert ck2.n_samples_drawn == ck1.n_samples_drawn + n_chains * 400
+    # second leg continues from new state, different draws
+    s2, _, _ = run_chains_resumed(vg, ck2, n_samples=100)
+    assert not np.allclose(np.asarray(s2[:, 0]), np.asarray(s1[:, 0]))
+    # pooled moments still match the target
+    pooled = np.concatenate(
+        [np.asarray(samples).reshape(-1, dim), np.asarray(s1).reshape(-1, dim)]
+    )
+    assert np.abs(pooled.mean(0)).max() < 0.25
+    assert np.abs(pooled.var(0) - 1.0).max() < 0.35
+
+
+def test_resume_deterministic(tmp_path):
+    vg = _vg()
+    ck = SamplerCheckpoint(
+        psi=np.zeros((1, 2)),
+        step_size=np.array([0.8]),
+        inv_mass=np.ones((1, 2)),
+        key=np.asarray(jax.random.split(jax.random.PRNGKey(5), 1)),
+    )
+    s1, _, _ = run_chains_resumed(vg, ck, n_samples=50)
+    s2, _, _ = run_chains_resumed(vg, ck, n_samples=50)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_nan_guard_passthrough():
+    from manifold_constrained_gaussian_process_inference_tpu.utils.debugging import (
+        nan_guard,
+    )
+
+    vg = nan_guard(_vg())
+    v, g = jax.jit(vg)(jnp.ones(3))
+    assert np.isclose(float(v), -1.5)
+    assert np.allclose(np.asarray(g), -np.ones(3))

@@ -113,6 +113,46 @@ def test_initial_params_override():
     assert np.all(np.isfinite(res.theta))
 
 
+def test_multichain_solve():
+    """n_chains > 1 concatenates chains and exposes per-chain diagnostics."""
+    t_grid, y_grid, _, _ = _fn_data(n_obs=9, t_end=4.0, fill=0)
+    cfg = MagiConfig(
+        niter_hmc=40, burnin_ratio=0.5, n_chains=4, seed=5,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    res = solve_magi(y_grid, t_grid, FN_SYSTEM, cfg)
+    assert res.theta.shape == (4 * 20, 3)
+    assert res.diagnostics["n_chains"] == 4
+    assert res.diagnostics["lp_per_chain"].shape == (4, 20)
+    assert res.diagnostics["theta_per_chain"].shape == (4, 20, 3)
+    assert res.diagnostics["final_psi"].shape[0] == 4
+    # chains differ (different PRNG streams)
+    assert not np.allclose(
+        res.diagnostics["theta_per_chain"][0], res.diagnostics["theta_per_chain"][1]
+    )
+
+
+def test_unsupported_kernel_falls_back(caplog):
+    """Parity MagiJl.jl:477-479: warn + default to matern52."""
+    t_grid, y_grid, _, _ = _fn_data(n_obs=7, t_end=3.0, fill=0)
+    cfg = MagiConfig(
+        niter_hmc=10, kernel="cosine", seed=2,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    res = solve_magi(y_grid, t_grid, FN_SYSTEM, cfg)
+    assert np.all(np.isfinite(res.theta))
+
+
+def test_band_impl_band_through_solver():
+    t_grid, y_grid, _, _ = _fn_data(n_obs=9, t_end=4.0, fill=0)
+    cfg = MagiConfig(
+        niter_hmc=20, band_size=4, band_impl="band", seed=4,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    res = solve_magi(y_grid, t_grid, FN_SYSTEM, cfg)
+    assert np.all(np.isfinite(res.x_sampled))
+
+
 def test_dimension_errors():
     t = np.linspace(0, 1, 5)
     y = np.zeros((5, 2))
