@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import manifold_constrained_gaussian_process_inference_tpu as magi
 from manifold_constrained_gaussian_process_inference_tpu.config import MagiConfig
 from manifold_constrained_gaussian_process_inference_tpu.models import (
+    HES1LOG_FIXF_SYSTEM,
     HES1LOG_SYSTEM,
 )
 from manifold_constrained_gaussian_process_inference_tpu.postprocess import (
@@ -35,6 +36,10 @@ from manifold_constrained_gaussian_process_inference_tpu.utils.integrators impor
 )
 
 THETA_TRUE = np.array([0.022, 0.3, 0.031, 0.028, 0.5, 20.0, 0.3])
+# Inference runs the fixed-f variant (f = 20 held fixed, ode_models.jl:147-165):
+# with H unobserved, theta1*H and theta6/H trade off, so the reference (and
+# the MAGI paper) fix one of them for identifiability.
+THETA_TRUE_FIXF = np.array([0.022, 0.3, 0.031, 0.028, 0.5, 0.3])
 X0_TRUE = np.log(np.array([1.439, 2.037, 17.904]))
 NOISE_SD = 0.15
 
@@ -80,18 +85,26 @@ def main():
         seed=args.seed,
         # H has no observations: phi/sigma for it cannot come from NLML.
         # Supply phi for all dims + sigma -> fixed-sigma mode (the paper
-        # treats the noise as known for Hes1), with GP scales set from the
-        # observed dims' magnitudes.
-        phi=np.array([[0.3, 0.3, 0.7], [60.0, 60.0, 60.0]]),
+        # treats the noise as known for Hes1). NOTE the GP prior is
+        # zero-mean (reference parity: GPCov.mu = 0), so each variance must
+        # cover the signal's level AND amplitude: log H reaches ~2.9.
+        phi=np.array([[2.0, 1.5, 12.0], [55.0, 55.0, 55.0]]),
         sigma=np.array([NOISE_SD, NOISE_SD, NOISE_SD]),
+        # MAP warm start is essential here: the unobserved H dimension
+        # initializes at zeros, far off the manifold.
+        map_init_iterations=3000,
+        map_init_lr=0.02,
+        # Hes1 rate constants are positive; sample through the bounded
+        # reparameterization so chains cannot cross into mirror modes.
+        theta_constrained=True,
     )
     t0 = time.time()
-    res = magi.solve_magi(y, t_grid, HES1LOG_SYSTEM, config)
+    res = magi.solve_magi(y, t_grid, HES1LOG_FIXF_SYSTEM, config)
     print(f"solve_magi finished in {time.time() - t0:.1f}s")
 
     theta_mean = res.theta.mean(axis=0)
     print("theta mean:", np.round(theta_mean, 4))
-    print("theta true:", THETA_TRUE)
+    print("theta true:", THETA_TRUE_FIXF, "(fixed-f variant)")
     # recovery of the unobserved H trajectory
     h_mean = res.x_sampled[:, :, 2].mean(axis=0)
     h_rmse = float(np.sqrt(np.mean((h_mean - x_truth[:, 2]) ** 2)))

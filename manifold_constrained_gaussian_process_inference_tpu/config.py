@@ -78,6 +78,26 @@ class MagiConfig:
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.
     band_impl: str = "auto"
+    # Sampler iterations per device call (bounds single-execution length,
+    # streams samples to host, enables progress logging).
+    chunk_size: int = 1000
+    # Gaussian dispersion of chains 1..C-1 around Psi_0 (chain 0 starts
+    # exactly at Psi_0). Overdispersed starts make split-R-hat meaningful.
+    chain_init_jitter: float = 0.0
+    # When set, wraps sampling in jax.profiler.trace writing to this dir.
+    profile_dir: Optional[str] = None
+    # MAP warm start: Adam steps maximizing the fused log-posterior over
+    # Psi before sampling (theta projected into bounds). 0 disables
+    # (reference-like behavior: sampling starts at the heuristic init).
+    # Strongly recommended on TPU/float32: starting near the posterior mode
+    # keeps |log-posterior| small where f32 resolution is fine, and avoids
+    # the frozen-chain -> collapsed-metric failure mode of bad inits.
+    map_init_iterations: int = 0
+    map_init_lr: float = 0.01
+    # Sample theta through a Stan-style bounded reparameterization (bounds
+    # enforced with Jacobian correction). False = reference parity: bounds
+    # only applied at initialization (MagiJl.jl:413-453), chains may cross.
+    theta_constrained: bool = False
 
     def resolved_dtype(self) -> jnp.dtype:
         return self.dtype if self.dtype is not None else default_dtype()

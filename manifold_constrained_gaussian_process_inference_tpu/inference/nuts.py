@@ -371,46 +371,34 @@ class WarmupCarry(NamedTuple):
     inv_mass: jnp.ndarray
 
 
-def run_nuts(
-    vg: Callable,
-    q0: jnp.ndarray,
-    key: jnp.ndarray,
-    n_samples: int,
-    n_adapts: int,
-    initial_step_size: float = 0.1,
-    target_accept: float = 0.8,
-    max_depth: int = 10,
-    adapt_mass: bool = True,
-):
-    """Single-chain NUTS with Stan warmup. Returns (samples, stats) where
-    ``samples`` is (n_samples - n_adapts, dim) of post-warmup draws.
+class SampleCarry(NamedTuple):
+    chain: ChainState
+    eps: jnp.ndarray
+    inv_mass: jnp.ndarray
 
-    Counterpart of run_nuts_sampler (/root/reference/src/samplers.jl:114-194)
-    with drop_warmup=true semantics. Batch over chains with
-    ``jax.vmap(lambda q0, key: run_nuts(...))``.
-    """
+
+def init_warmup_carry(vg, q0, key, initial_step_size) -> WarmupCarry:
     dtype = q0.dtype
     dim = q0.shape[0]
-    n_keep = n_samples - n_adapts
-
     logp0, grad0 = vg(q0)
-    chain0 = ChainState(q=q0, logp=logp0, grad=grad0, key=key)
-
-    in_window_np, window_end_np = build_window_schedule(n_adapts)
-    in_window = jnp.asarray(in_window_np)
-    window_end = jnp.asarray(window_end_np)
-
     eps0 = jnp.asarray(initial_step_size, dtype)
-    carry0 = WarmupCarry(
-        chain=chain0,
+    return WarmupCarry(
+        chain=ChainState(q=q0, logp=logp0, grad=grad0, key=key),
         da=da_init(eps0),
         welford=welford_init(dim, dtype),
         inv_mass=jnp.ones((dim,), dtype),
     )
 
+
+def make_warmup_step(vg, target_accept: float, max_depth: int, adapt_mass: bool):
+    """Scan body for one warmup transition + adaptation update. xs =
+    (in_window, window_end) booleans from build_window_schedule."""
+
     def warmup_step(carry: WarmupCarry, xs):
         in_win, win_end = xs
         chain = carry.chain
+        dtype = chain.q.dtype
+        dim = chain.q.shape[0]
         key, k_step = jax.random.split(chain.key)
         eps = jnp.exp(carry.da.log_eps).astype(dtype)
         q, logp, grad, stats = nuts_transition(
@@ -443,6 +431,57 @@ def run_nuts(
         )
         return new_carry, stats.diverging
 
+    return warmup_step
+
+
+def make_sample_step(vg, max_depth: int):
+    """Scan body for one post-warmup transition (frozen eps/metric in the
+    carry, so chunked drivers can thread them through device calls)."""
+
+    def sample_step(carry: SampleCarry, _):
+        chain = carry.chain
+        key, k_step = jax.random.split(chain.key)
+        q, logp, grad, stats = nuts_transition(
+            vg, chain.q, chain.logp, chain.grad, k_step, carry.eps,
+            carry.inv_mass, max_depth=max_depth,
+        )
+        new = SampleCarry(
+            chain=ChainState(q=q, logp=logp, grad=grad, key=key),
+            eps=carry.eps, inv_mass=carry.inv_mass,
+        )
+        return new, (q, logp, stats)
+
+    return sample_step
+
+
+def run_nuts(
+    vg: Callable,
+    q0: jnp.ndarray,
+    key: jnp.ndarray,
+    n_samples: int,
+    n_adapts: int,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    max_depth: int = 10,
+    adapt_mass: bool = True,
+):
+    """Single-chain NUTS with Stan warmup. Returns (samples, stats) where
+    ``samples`` is (n_samples - n_adapts, dim) of post-warmup draws.
+
+    Counterpart of run_nuts_sampler (/root/reference/src/samplers.jl:114-194)
+    with drop_warmup=true semantics. Batch over chains with
+    ``jax.vmap(lambda q0, key: run_nuts(...))``.
+    """
+    dtype = q0.dtype
+    n_keep = n_samples - n_adapts
+
+    in_window_np, window_end_np = build_window_schedule(n_adapts)
+    in_window = jnp.asarray(in_window_np)
+    window_end = jnp.asarray(window_end_np)
+
+    carry0 = init_warmup_carry(vg, q0, key, initial_step_size)
+    warmup_step = make_warmup_step(vg, target_accept, max_depth, adapt_mass)
+
     if n_adapts > 0:
         carry, warmup_div = lax.scan(
             warmup_step, carry0, (in_window, window_end), length=n_adapts
@@ -453,20 +492,15 @@ def run_nuts(
     eps_final = jnp.exp(carry.da.log_eps_avg).astype(dtype)
     inv_mass_final = carry.inv_mass
 
-    def sample_step(chain: ChainState, _):
-        key, k_step = jax.random.split(chain.key)
-        q, logp, grad, stats = nuts_transition(
-            vg, chain.q, chain.logp, chain.grad, k_step, eps_final,
-            inv_mass_final, max_depth=max_depth,
-        )
-        return ChainState(q=q, logp=logp, grad=grad, key=key), (q, logp, stats)
-
-    final_chain, (samples, lp, stats) = lax.scan(
-        sample_step, carry.chain, None, length=n_keep
+    sample_step = make_sample_step(vg, max_depth)
+    final_carry, (samples, lp, stats) = lax.scan(
+        sample_step,
+        SampleCarry(chain=carry.chain, eps=eps_final, inv_mass=inv_mass_final),
+        None, length=n_keep,
     )
     info = {
-        "final_psi": final_chain.q,
-        "final_key": final_chain.key,
+        "final_psi": final_carry.chain.q,
+        "final_key": final_carry.chain.key,
         "lp": lp,
         "accept_prob": stats.accept_prob,
         "num_leapfrog": stats.num_leapfrog,

@@ -117,6 +117,67 @@ def _init_theta_from_bounds(system: OdeSystem) -> np.ndarray:
     return theta
 
 
+def map_warm_start(
+    vg,
+    psi0: np.ndarray,
+    n_iters: int,
+    lr: float,
+    theta_slice: slice,
+    theta_lb: np.ndarray,
+    theta_ub: np.ndarray,
+    dtype,
+) -> np.ndarray:
+    """Adam ascent on the fused log-posterior; theta projected into bounds
+    (strict interior so 1/theta-style terms stay finite). Non-finite steps
+    are rejected. Returns the best Psi seen."""
+    import optax
+
+    lb = jnp.asarray(
+        np.where(np.isfinite(theta_lb), theta_lb, -np.inf), dtype
+    )
+    ub = jnp.asarray(np.where(np.isfinite(theta_ub), theta_ub, np.inf), dtype)
+    margin = jnp.asarray(
+        np.where(
+            np.isfinite(theta_lb) & np.isfinite(theta_ub),
+            1e-4 * np.minimum(theta_ub - theta_lb, 1.0),
+            1e-4,
+        ),
+        dtype,
+    )
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(psi):
+        def step(carry, _):
+            psi, st, best_psi, best_v = carry
+            v, g = vg(psi)
+            better = v > best_v
+            best_psi = jnp.where(better, psi, best_psi)
+            best_v = jnp.where(better, v, best_v)
+            updates, st = opt.update(-g, st, psi)
+            new_psi = optax.apply_updates(psi, updates)
+            th = jnp.clip(new_psi[theta_slice], lb + margin, ub - margin)
+            new_psi = new_psi.at[theta_slice].set(th)
+            ok = jnp.all(jnp.isfinite(new_psi))
+            new_psi = jnp.where(ok, new_psi, psi)
+            return (new_psi, st, best_psi, best_v), v
+
+        v0, _ = vg(psi)
+        carry, vs = jax.lax.scan(
+            step, (psi, opt.init(psi), psi, v0), None, length=n_iters
+        )
+        psi_f, _, best_psi, best_v = carry
+        v_f, _ = vg(psi_f)
+        return jnp.where(v_f > best_v, psi_f, best_psi), v0, jnp.maximum(v_f, best_v)
+
+    psi_opt, v0, v1 = run(jnp.asarray(psi0, dtype))
+    logger.info(
+        "MAP warm start: log-posterior %.4g -> %.4g (%d Adam steps)",
+        float(v0), float(v1), n_iters,
+    )
+    return np.asarray(psi_opt, dtype=np.float64)
+
+
 def solve_magi(
     y_obs: np.ndarray,
     t_obs: np.ndarray,
@@ -250,17 +311,29 @@ def solve_magi(
     if band_impl == "auto":
         # Dense (D, n, n) einsums ride the MXU and win for moderate n; the
         # O(n*b) band-storage path wins once n^2 HBM traffic dominates.
-        if n_times <= 1024:
+        # Crossover measured on v5e (band 20): dense 20.3k vs pallas 17.4k
+        # evals/s at n=397, 12.5k vs 15.6k at n=793, 1.2k vs 12.0k at n=3169.
+        from ..ops.pallas_band import _tpu_available
+
+        on_tpu = _tpu_available()
+        if n_times <= (512 if on_tpu else 1024):
             band_impl = "dense"
         else:
-            from ..ops.pallas_band import _tpu_available
-
-            band_impl = "pallas" if _tpu_available() else "band"
+            band_impl = "pallas" if on_tpu else "band"
     logger.info("band_impl: %s (bandsize %d)", band_impl, gp_cov.bandsize)
+
+    theta_transform = None
+    if config.theta_constrained:
+        from .transforms import make_theta_transform
+
+        theta_transform = make_theta_transform(
+            ode_system.theta_lower_bound, ode_system.theta_upper_bound
+        )
 
     target = MagiTarget.build(
         y_obs, gp_cov, ode_system, sigma_init, prior_temps,
         sigma_is_fixed, dtype=dtype, band_impl=band_impl,
+        theta_transform=theta_transform,
     )
 
     # --- Psi_0 assembly (MagiJl.jl:526-569) ---
@@ -282,28 +355,66 @@ def solve_magi(
         if not sigma_is_fixed:
             parts.append(np.log(np.maximum(sigma_init, 1e-8)))
         psi0 = np.concatenate(parts)
+
+    if theta_transform is not None:
+        # Sample theta on the unconstrained scale.
+        from .transforms import unconstrain
+
+        ts, te = n_times * n_dims, n_times * n_dims + k
+        psi0[ts:te] = unconstrain(theta_transform, psi0[ts:te])
     logger.info("Sampling dimension: %d", psi0.shape[0])
 
     # --- NUTS (MagiJl.jl:577-604) ---
     n_adapts = int(np.floor(config.niter_hmc * config.burnin_ratio))
     vg = target.value_and_grad_fn()
+
+    if config.map_init_iterations > 0:
+        if theta_transform is None:
+            map_lb = ode_system.theta_lower_bound
+            map_ub = ode_system.theta_upper_bound
+        else:
+            # theta slot holds unconstrained z: no projection needed.
+            map_lb = np.full(k, -np.inf)
+            map_ub = np.full(k, np.inf)
+        psi0 = map_warm_start(
+            vg, psi0, config.map_init_iterations, config.map_init_lr,
+            slice(n_times * n_dims, n_times * n_dims + k),
+            map_lb, map_ub, dtype,
+        )
     n_chains = int(config.n_chains)
     key = jax.random.PRNGKey(config.seed)
 
     from ..parallel.chains import run_chains
 
-    t_sample = time.time()
-    samples, info = run_chains(
-        vg,
-        jnp.asarray(np.tile(psi0, (n_chains, 1)), dtype=dtype),
-        jax.random.split(key, n_chains),
-        n_samples=config.niter_hmc,
-        n_adapts=n_adapts,
-        initial_step_size=config.step_size_factor,
-        target_accept=config.target_accept_ratio,
-        max_depth=config.max_tree_depth,
-        mesh=mesh,
+    psi0_chains = np.tile(psi0, (n_chains, 1))
+    if config.chain_init_jitter > 0 and n_chains > 1:
+        rng_init = np.random.default_rng(config.seed + 1)
+        psi0_chains[1:] += config.chain_init_jitter * rng_init.standard_normal(
+            psi0_chains[1:].shape
+        )
+
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(config.profile_dir)
+        if config.profile_dir else contextlib.nullcontext()
     )
+
+    t_sample = time.time()
+    with profile_cm:
+        samples, info = run_chains(
+            vg,
+            jnp.asarray(psi0_chains, dtype=dtype),
+            jax.random.split(key, n_chains),
+            n_samples=config.niter_hmc,
+            n_adapts=n_adapts,
+            initial_step_size=config.step_size_factor,
+            target_accept=config.target_accept_ratio,
+            max_depth=config.max_tree_depth,
+            mesh=mesh,
+            chunk_size=config.chunk_size,
+            progress=config.verbose,
+        )
     samples = np.asarray(samples)  # (C, S, dim)
     sampling_time = time.time() - t_sample
 
@@ -316,6 +427,10 @@ def solve_magi(
         .transpose(0, 2, 1)
     )
     theta_samples = flat[:, n_times * n_dims : n_times * n_dims + k]
+    if theta_transform is not None:
+        from .transforms import constrain_np
+
+        theta_samples = constrain_np(theta_transform, theta_samples)
     if sigma_is_fixed:
         sigma_samples = np.tile(sigma_init, (flat.shape[0], 1))
     else:
@@ -339,7 +454,7 @@ def solve_magi(
         "final_psi": np.asarray(info["final_psi"]),
         "final_key": np.asarray(info["final_key"]),
         "lp_per_chain": np.asarray(info["lp"]),
-        "theta_per_chain": samples[:, :, n_times * n_dims : n_times * n_dims + k],
+        "theta_per_chain": theta_samples.reshape(n_chains, n_keep, k),
         "sampling_time_s": sampling_time,
         "total_time_s": time.time() - t_start,
         "gradient_evals": float(np.sum(np.asarray(info["num_leapfrog"]))),

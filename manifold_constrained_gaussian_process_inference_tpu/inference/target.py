@@ -52,6 +52,9 @@ class MagiTarget:
     sigma_is_fixed: bool
     bandwidth: int = 0
     use_pallas: bool = False
+    # Optional bounded reparameterization of theta (inference/transforms.py).
+    # None -> theta sampled unconstrained (reference parity).
+    theta_transform: object = None
 
     @classmethod
     def build(
@@ -64,12 +67,17 @@ class MagiTarget:
         sigma_is_fixed: bool,
         dtype=None,
         band_impl: str = "dense",
+        theta_transform=None,
     ) -> "MagiTarget":
         """band_impl selects the hot-path memory layout:
         - "dense": (D, n, n) band-masked dense einsums (MXU; best for
           moderate n)
         - "band": (D, 2b+1, n) diagonal storage, XLA roll contraction
         - "pallas": band storage through the Pallas TPU kernel
+
+        ``theta_transform``: a transforms.ThetaTransform to sample theta on
+        an unconstrained scale with bounds enforced (None = reference
+        parity: unconstrained, bounds only at init).
         """
         if band_impl == "dense":
             data = make_likelihood_data(yobs, gp_cov, prior_temperature, dtype=dtype)
@@ -92,6 +100,7 @@ class MagiTarget:
             sigma_is_fixed=sigma_is_fixed,
             bandwidth=gp_cov.bandsize,
             use_pallas=band_impl == "pallas",
+            theta_transform=theta_transform,
         )
 
     @property
@@ -138,16 +147,22 @@ class MagiTarget:
         unpack = self.unpack
         banded = isinstance(data, BandedLikelihoodData)
         bandwidth, use_pallas = self.bandwidth, self.use_pallas
+        transform = self.theta_transform
 
         def logdensity(psi):
             x, theta, log_sigma = unpack(psi)
+            jac = jnp.zeros((), dtype=psi.dtype)
+            if transform is not None:
+                from .transforms import constrain
+
+                theta, theta_jac = constrain(transform, theta)
+                jac = jac + theta_jac
             if fixed:
                 sigma = sigma_fixed
-                jac = jnp.zeros((), dtype=psi.dtype)
             else:
                 clamped = jnp.clip(log_sigma, -LOG_SIGMA_CLAMP, LOG_SIGMA_CLAMP)
                 sigma = jnp.exp(clamped)
-                jac = jnp.sum(clamped)
+                jac = jac + jnp.sum(clamped)
             if banded:
                 ll = log_posterior_banded(
                     x, theta, sigma, data, system.f, bandwidth, use_pallas

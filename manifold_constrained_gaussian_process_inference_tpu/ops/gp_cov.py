@@ -111,10 +111,14 @@ def banded_cholesky(a_band: np.ndarray, bandwidth: int, max_tries: int = 10):
     sym = 0.5 * (a_band + a_band.T)
     lam_min = float(np.linalg.eigvalsh(sym).min())
     shift = max(0.0, -lam_min) + scale * 1e-10
-    logger.warning(
+    rel = shift / scale
+    msg = (
         "banded_cholesky: diagonal-shift fallback engaged "
-        "(lambda_min=%.3e, shift=%.3e).", lam_min, shift,
+        "(lambda_min=%.3e, shift=%.3e, relative=%.2e)."
     )
+    # Relative shifts below ~1e-6 are numerically invisible in the
+    # quadratic forms; only larger ones deserve a warning.
+    (logger.warning if rel > 1e-6 else logger.debug)(msg, lam_min, shift, rel)
     chol = np.linalg.cholesky(sym + shift * np.eye(n))
     return mat2band(chol, bandwidth, 0), shift
 

@@ -1,4 +1,4 @@
-"""Chain-level parallelism.
+"""Chain-level parallelism with chunked execution.
 
 The reference is single-chain, single-threaded (SURVEY.md section 2.4). Here
 chains are the embarrassingly-parallel axis:
@@ -9,9 +9,21 @@ chains are the embarrassingly-parallel axis:
   chains on each device; there are NO collectives on the hot path (chains
   never communicate) — results are gathered once at the end, exactly the
   layout SURVEY.md section 5.8 prescribes.
+
+Execution is CHUNKED: the warmup/sampling scans run ``chunk_size``
+iterations per device call, with adaptation/sampler state threaded through
+host-level Python between calls. Chunking exists for three reasons:
+(1) single multi-minute XLA executions have crashed the remote TPU worker
+    (observed on a 16k-iteration scan);
+(2) per-chunk progress logging — the reference shows AdvancedHMC's progress
+    bar (samplers.jl:182), this is our counterpart;
+(3) samples stream to host per chunk, bounding device memory.
+All chunks share two compiled programs (full chunk + remainder).
 """
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 from typing import Callable, Optional
 
@@ -20,9 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..inference.nuts import run_nuts
+from ..inference.adapt import build_window_schedule
+from ..inference.nuts import (
+    SampleCarry,
+    init_warmup_carry,
+    make_sample_step,
+    make_warmup_step,
+)
+
+logger = logging.getLogger(__name__)
 
 CHAIN_AXIS = "chains"
+
+
+def _chunk_lengths(total: int, chunk: int):
+    out = []
+    done = 0
+    while done < total:
+        step = min(chunk, total - done)
+        out.append(step)
+        done += step
+    return out
 
 
 def run_chains(
@@ -34,44 +64,121 @@ def run_chains(
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     max_depth: int = 10,
+    adapt_mass: bool = True,
     mesh: Optional[Mesh] = None,
+    chunk_size: int = 1000,
+    progress: bool = False,
 ):
-    """Run C NUTS chains. Returns (samples (C, S, dim), info dict with a
-    leading chain axis)."""
+    """Run C NUTS chains (Stan warmup + sampling). Returns
+    (samples (C, S, dim) numpy, info dict with a leading chain axis)."""
+    n_chains, dim = psi0.shape
+    n_keep = n_samples - n_adapts
+    dtype = psi0.dtype
 
-    def single(q0, key):
-        return run_nuts(
-            vg, q0, key,
-            n_samples=n_samples, n_adapts=n_adapts,
-            initial_step_size=initial_step_size,
-            target_accept=target_accept,
-            max_depth=max_depth,
+    def wrap(f, out_axes=0):
+        """vmap over chains, then (optionally) shard over the mesh."""
+        batched = jax.vmap(f)
+        if mesh is None:
+            return jax.jit(batched)
+        (axis_name,) = mesh.axis_names
+        n_dev = mesh.devices.size
+        if n_chains % n_dev != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be a multiple of mesh size {n_dev}"
+            )
+        return jax.jit(
+            jax.shard_map(
+                batched, mesh=mesh, in_specs=P(axis_name),
+                out_specs=P(axis_name), check_vma=False,
+            )
         )
 
-    batched = jax.vmap(single)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(CHAIN_AXIS))
+        psi0 = jax.device_put(psi0, sharding)
+        keys = jax.device_put(keys, sharding)
 
-    if mesh is None:
-        return jax.jit(batched)(psi0, keys)
+    # --- init + warmup ---
+    carry = wrap(
+        lambda q0, k: init_warmup_carry(vg, q0, k, initial_step_size)
+    )(psi0, keys)
 
-    n_chains = psi0.shape[0]
-    (axis_name,) = mesh.axis_names
-    n_dev = mesh.devices.size
-    if n_chains % n_dev != 0:
-        raise ValueError(
-            f"n_chains={n_chains} must be a multiple of mesh size {n_dev}"
-        )
+    warmup_step = make_warmup_step(vg, target_accept, max_depth, adapt_mass)
 
-    sharded = jax.shard_map(
-        batched,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name)),
-        check_vma=False,
+    def warmup_chunk(carry, iw, we):
+        return jax.lax.scan(warmup_step, carry, (iw, we))
+
+    in_window, window_end = build_window_schedule(n_adapts)
+    warmup_div_chunks = []
+    pos = 0
+    t0 = time.time()
+    chunks = _chunk_lengths(n_adapts, chunk_size)
+    compiled_warmup = {}
+    for li, length in enumerate(chunks):
+        iw = jnp.asarray(np.tile(in_window[pos : pos + length], (n_chains, 1)))
+        we = jnp.asarray(np.tile(window_end[pos : pos + length], (n_chains, 1)))
+        if length not in compiled_warmup:
+            compiled_warmup[length] = wrap(warmup_chunk)
+        carry, div = compiled_warmup[length](carry, iw, we)
+        warmup_div_chunks.append(np.asarray(div))
+        pos += length
+        if progress:
+            logger.info(
+                "warmup %d/%d (%.1fs)", pos, n_adapts, time.time() - t0
+            )
+
+    eps_final = jnp.exp(carry.da.log_eps_avg).astype(dtype)
+    inv_mass_final = carry.inv_mass
+
+    # --- sampling ---
+    sample_step = make_sample_step(vg, max_depth)
+
+    def sample_chunk(carry, length):
+        return jax.lax.scan(sample_step, carry, None, length=length)
+
+    scarry = SampleCarry(chain=carry.chain, eps=eps_final, inv_mass=inv_mass_final)
+    sample_chunks = []
+    lp_chunks, acc_chunks, leap_chunks, depth_chunks, div_chunks, e_chunks = (
+        [], [], [], [], [], []
     )
-    in_sharding = NamedSharding(mesh, P(axis_name))
-    psi0 = jax.device_put(psi0, in_sharding)
-    keys = jax.device_put(keys, in_sharding)
-    return jax.jit(sharded)(psi0, keys)
+    compiled_sample = {}
+    pos = 0
+    for length in _chunk_lengths(n_keep, chunk_size):
+        if length not in compiled_sample:
+            compiled_sample[length] = wrap(partial(sample_chunk, length=length))
+        scarry, (qs, lps, stats) = compiled_sample[length](scarry)
+        sample_chunks.append(np.asarray(qs))
+        lp_chunks.append(np.asarray(lps))
+        acc_chunks.append(np.asarray(stats.accept_prob))
+        leap_chunks.append(np.asarray(stats.num_leapfrog))
+        depth_chunks.append(np.asarray(stats.tree_depth))
+        div_chunks.append(np.asarray(stats.diverging))
+        e_chunks.append(np.asarray(stats.energy))
+        pos += length
+        if progress:
+            logger.info(
+                "sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0
+            )
+
+    cat = lambda parts: (
+        np.concatenate(parts, axis=1)
+        if parts else np.zeros((n_chains, 0))
+    )
+    samples = cat(sample_chunks)
+    info = {
+        "lp": cat(lp_chunks),
+        "accept_prob": cat(acc_chunks),
+        "num_leapfrog": cat(leap_chunks),
+        "tree_depth": cat(depth_chunks),
+        "diverging": cat(div_chunks),
+        "energy": cat(e_chunks),
+        "step_size": np.asarray(eps_final),
+        "inv_mass": np.asarray(inv_mass_final),
+        "warmup_diverging": cat(warmup_div_chunks),
+        "final_psi": np.asarray(scarry.chain.q),
+        "final_key": np.asarray(scarry.chain.key),
+    }
+    return samples, info
 
 
 def make_chain_mesh(n_devices: Optional[int] = None) -> Mesh:
