@@ -98,6 +98,12 @@ class MagiConfig:
     # enforced with Jacobian correction). False = reference parity: bounds
     # only applied at initialization (MagiJl.jl:413-453), chains may cross.
     theta_constrained: bool = False
+    # GP prior mean: None (zero-mean, reference parity), "observed" (per-dim
+    # mean of the finite observations; unobserved dims stay 0), a (D,)
+    # vector of constants, or a full (n, D) trajectory. The zero-mean prior
+    # penalizes signals with a large offset — "observed" removes that cost
+    # without inflating the GP variance.
+    gp_mean: object = None
 
     def resolved_dtype(self) -> jnp.dtype:
         return self.dtype if self.dtype is not None else default_dtype()

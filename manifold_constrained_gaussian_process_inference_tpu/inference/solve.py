@@ -330,10 +330,22 @@ def solve_magi(
             ode_system.theta_lower_bound, ode_system.theta_upper_bound
         )
 
+    gp_mean = config.gp_mean
+    if isinstance(gp_mean, str):
+        if gp_mean != "observed":
+            raise MagiError(f"unknown gp_mean mode '{gp_mean}'")
+        means = np.zeros(n_dims)
+        for dim in range(n_dims):
+            finite = y_obs[:, dim][np.isfinite(y_obs[:, dim])]
+            if finite.size:
+                means[dim] = finite.mean()
+        gp_mean = means
+        logger.info("gp_mean='observed' -> %s", np.round(means, 4))
+
     target = MagiTarget.build(
         y_obs, gp_cov, ode_system, sigma_init, prior_temps,
         sigma_is_fixed, dtype=dtype, band_impl=band_impl,
-        theta_transform=theta_transform,
+        theta_transform=theta_transform, gp_mean=gp_mean,
     )
 
     # --- Psi_0 assembly (MagiJl.jl:526-569) ---

@@ -68,6 +68,8 @@ class MagiTarget:
         dtype=None,
         band_impl: str = "dense",
         theta_transform=None,
+        gp_mean=None,
+        gp_mean_deriv=None,
     ) -> "MagiTarget":
         """band_impl selects the hot-path memory layout:
         - "dense": (D, n, n) band-masked dense einsums (MXU; best for
@@ -80,10 +82,14 @@ class MagiTarget:
         parity: unconstrained, bounds only at init).
         """
         if band_impl == "dense":
-            data = make_likelihood_data(yobs, gp_cov, prior_temperature, dtype=dtype)
+            data = make_likelihood_data(
+                yobs, gp_cov, prior_temperature, dtype=dtype,
+                mu=gp_mean, dotmu=gp_mean_deriv,
+            )
         elif band_impl in ("band", "pallas"):
             data = make_banded_likelihood_data(
-                yobs, gp_cov, prior_temperature, dtype=dtype
+                yobs, gp_cov, prior_temperature, dtype=dtype,
+                mu=gp_mean, dotmu=gp_mean_deriv,
             )
         else:
             raise ValueError(f"unknown band_impl '{band_impl}'")

@@ -60,6 +60,27 @@ class LikelihoodData(NamedTuple):
     GCt: jnp.ndarray
     GKt: jnp.ndarray
     beta: jnp.ndarray
+    mu: jnp.ndarray      # (n, D) GP prior mean
+    dotmu: jnp.ndarray   # (n, D) its time derivative
+
+
+def _resolve_mean(mu, dotmu, n, d, dtype):
+    """Broadcast user-provided GP means to (n, D); zeros by default
+    (reference parity: GPCov.mu/dotmu are always zero,
+    gaussian_process.jl:244-245)."""
+    if mu is None:
+        mu_arr = np.zeros((n, d))
+    else:
+        mu_arr = np.asarray(mu, dtype=np.float64)
+        if mu_arr.ndim == 1:
+            mu_arr = np.broadcast_to(mu_arr, (n, d)).copy()
+    if dotmu is None:
+        dm_arr = np.zeros((n, d))
+    else:
+        dm_arr = np.asarray(dotmu, dtype=np.float64)
+        if dm_arr.ndim == 1:
+            dm_arr = np.broadcast_to(dm_arr, (n, d)).copy()
+    return jnp.asarray(mu_arr, dtype=dtype), jnp.asarray(dm_arr, dtype=dtype)
 
 
 def make_likelihood_data(
@@ -67,6 +88,8 @@ def make_likelihood_data(
     gp_cov: GPCov,
     prior_temperature,
     dtype=None,
+    mu=None,
+    dotmu=None,
 ) -> LikelihoodData:
     """Precompute masks/fills. NaN observations are masked out, matching the
     reference's isfinite handling (likelihoods.jl:122-127)."""
@@ -74,6 +97,8 @@ def make_likelihood_data(
         dtype = gp_cov.Cinv_band.dtype
     yobs = np.asarray(yobs, dtype=np.float64)
     mask = np.isfinite(yobs)
+    n, d = yobs.shape
+    mu_j, dotmu_j = _resolve_mean(mu, dotmu, n, d, dtype)
     return LikelihoodData(
         yobs_filled=jnp.asarray(np.where(mask, yobs, 0.0), dtype=dtype),
         mask=jnp.asarray(mask.astype(np.float64), dtype=dtype),
@@ -83,6 +108,8 @@ def make_likelihood_data(
         GCt=jnp.swapaxes(gp_cov.Cinv_band_chol, -1, -2).astype(dtype),
         GKt=jnp.swapaxes(gp_cov.Kinv_band_chol, -1, -2).astype(dtype),
         beta=jnp.asarray(np.asarray(prior_temperature, dtype=np.float64), dtype=dtype),
+        mu=mu_j,
+        dotmu=dotmu_j,
     )
 
 
@@ -103,13 +130,18 @@ def log_posterior(
     # ODE right-hand side over the full grid in one traced call.
     f = ode_f(x, theta, data.tvec)  # (n, D)
 
+    # Centered state: the GP prior applies to x - mu, and the conditional
+    # derivative mean is dotmu + mphi (x - mu) (Documentation of Algorithm
+    # section 2 with mean function; zeros reproduce reference behavior).
+    xc = x - data.mu
+
     # Batched band matvecs: out[i, d] = sum_j A[d, i, j] v[j, d].
-    mphi_x = jnp.einsum("dij,jd->id", data.mphi, x)
-    e_deriv = f - mphi_x
+    mphi_x = jnp.einsum("dij,jd->id", data.mphi, xc)
+    e_deriv = f - data.dotmu - mphi_x
     # Quadratic forms as sums of squares via the banded factors (see
     # LikelihoodData docstring): e' Kinv e = ||GKt e||^2, x' Cinv x = ||GCt x||^2.
     gk_e = jnp.einsum("dij,jd->id", data.GKt, e_deriv)
-    gc_x = jnp.einsum("dij,jd->id", data.GCt, x)
+    gc_x = jnp.einsum("dij,jd->id", data.GCt, xc)
 
     # Observation term (NaN-masked; -0.5 N_d log(2 pi sigma_d^2) only when
     # the dimension has observations — likelihoods.jl:139-143).
@@ -148,6 +180,8 @@ class BandedLikelihoodData(NamedTuple):
     GCt_bs: jnp.ndarray
     GC_bs: jnp.ndarray
     beta: jnp.ndarray
+    mu: jnp.ndarray
+    dotmu: jnp.ndarray
 
 
 def make_banded_likelihood_data(
@@ -155,6 +189,8 @@ def make_banded_likelihood_data(
     gp_cov: GPCov,
     prior_temperature,
     dtype=None,
+    mu=None,
+    dotmu=None,
 ) -> BandedLikelihoodData:
     from .band import dense_to_band_storage
     from .pallas_band import transpose_band_storage
@@ -178,6 +214,8 @@ def make_banded_likelihood_data(
     gkt_bs = storage_t(gk_bs)                    # GK^T (upper)
     gct_bs = storage_t(gc_bs)
 
+    n, d = yobs.shape
+    mu_j, dotmu_j = _resolve_mean(mu, dotmu, n, d, dtype)
     j = lambda a: jnp.asarray(a, dtype=dtype)
     return BandedLikelihoodData(
         yobs_filled=j(np.where(mask, yobs, 0.0)),
@@ -191,6 +229,8 @@ def make_banded_likelihood_data(
         GCt_bs=j(gct_bs),
         GC_bs=j(gc_bs),
         beta=j(np.asarray(prior_temperature, dtype=np.float64)),
+        mu=mu_j,
+        dotmu=dotmu_j,
     )
 
 
@@ -211,11 +251,11 @@ def log_posterior_banded(
     sigma_sq = sigma * sigma
     f = ode_f(x, theta, data.tvec)  # (n, D)
 
-    xt = x.T  # (D, n)
-    mphi_x = band_matvec(data.mphi_bs, data.mphi_t_bs, xt, bandwidth, use_pallas)
-    e_deriv = f.T - mphi_x
+    xct = (x - data.mu).T  # (D, n) centered
+    mphi_x = band_matvec(data.mphi_bs, data.mphi_t_bs, xct, bandwidth, use_pallas)
+    e_deriv = (f - data.dotmu).T - mphi_x
     gk_e = band_matvec(data.GKt_bs, data.GK_bs, e_deriv, bandwidth, use_pallas)
-    gc_x = band_matvec(data.GCt_bs, data.GC_bs, xt, bandwidth, use_pallas)
+    gc_x = band_matvec(data.GCt_bs, data.GC_bs, xct, bandwidth, use_pallas)
 
     resid = data.mask * (x - data.yobs_filled)
     sse = jnp.sum(resid * resid, axis=0)

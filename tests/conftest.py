@@ -32,7 +32,6 @@ jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
 )
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

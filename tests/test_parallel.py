@@ -17,8 +17,11 @@ def vg():
     return jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
 
 
+N_DEV = len(jax.devices())
+
+
 def test_virtual_devices_present():
-    assert len(jax.devices()) == 8
+    assert N_DEV >= 2  # conftest forces 8 unless the env overrides
 
 
 def test_sharded_chains_deterministic_and_statistically_equivalent(vg):
@@ -26,11 +29,11 @@ def test_sharded_chains_deterministic_and_statistically_equivalent(vg):
     and (b) statistically indistinguishable from the single-device vmap run.
     (Bitwise vmap-vs-shard_map equality does NOT hold: the two XLA programs
     fuse differently, and NUTS trajectories are chaotic in the last ulp.)"""
-    dim, n_chains = 3, 8
+    dim, n_chains = 3, N_DEV
     psi0 = jnp.zeros((n_chains, dim))
     keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
     s_vmap, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=None)
-    mesh = make_chain_mesh(8)
+    mesh = make_chain_mesh(N_DEV)
     s_shard, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=mesh)
     s_shard2, _ = run_chains(vg, psi0, keys, n_samples=600, n_adapts=300, mesh=mesh)
     assert np.array_equal(np.asarray(s_shard), np.asarray(s_shard2))
@@ -41,18 +44,21 @@ def test_sharded_chains_deterministic_and_statistically_equivalent(vg):
 
 
 def test_sharded_multiple_chains_per_device(vg):
-    mesh = make_chain_mesh(4)
-    psi0 = jnp.zeros((8, 2))
-    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    half = max(N_DEV // 2, 1)
+    mesh = make_chain_mesh(half)
+    psi0 = jnp.zeros((2 * half, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * half)
     s, info = run_chains(vg, psi0, keys, n_samples=20, n_adapts=10, mesh=mesh)
-    assert s.shape == (8, 10, 2)
+    assert s.shape == (2 * half, 10, 2)
     assert np.all(np.isfinite(np.asarray(s)))
 
 
 def test_chain_count_mesh_mismatch_raises(vg):
-    mesh = make_chain_mesh(8)
-    psi0 = jnp.zeros((6, 2))
-    keys = jax.random.split(jax.random.PRNGKey(1), 6)
+    if N_DEV < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_chain_mesh(N_DEV)
+    psi0 = jnp.zeros((N_DEV + 1, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), N_DEV + 1)
     with pytest.raises(ValueError):
         run_chains(vg, psi0, keys, n_samples=4, n_adapts=2, mesh=mesh)
 
@@ -68,4 +74,4 @@ def test_graft_entry_dryrun():
     v, g = out
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g)))
-    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(N_DEV)
