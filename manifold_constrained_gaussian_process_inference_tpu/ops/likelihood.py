@@ -59,6 +59,10 @@ class LikelihoodData(NamedTuple):
     mphi: jnp.ndarray
     GCt: jnp.ndarray
     GKt: jnp.ndarray
+    # Fused stack [mphi; GCt] (2D, n, n): both consume the centered state,
+    # so one batched einsum covers them (halves the matvec kernel count on
+    # the hot path).
+    mphi_gct: jnp.ndarray
     beta: jnp.ndarray
     mu: jnp.ndarray      # (n, D) GP prior mean
     dotmu: jnp.ndarray   # (n, D) its time derivative
@@ -107,6 +111,13 @@ def make_likelihood_data(
         mphi=gp_cov.mphi_band.astype(dtype),
         GCt=jnp.swapaxes(gp_cov.Cinv_band_chol, -1, -2).astype(dtype),
         GKt=jnp.swapaxes(gp_cov.Kinv_band_chol, -1, -2).astype(dtype),
+        mphi_gct=jnp.concatenate(
+            [
+                gp_cov.mphi_band.astype(dtype),
+                jnp.swapaxes(gp_cov.Cinv_band_chol, -1, -2).astype(dtype),
+            ],
+            axis=0,
+        ),
         beta=jnp.asarray(np.asarray(prior_temperature, dtype=np.float64), dtype=dtype),
         mu=mu_j,
         dotmu=dotmu_j,
@@ -134,14 +145,18 @@ def log_posterior(
     # derivative mean is dotmu + mphi (x - mu) (Documentation of Algorithm
     # section 2 with mean function; zeros reproduce reference behavior).
     xc = x - data.mu
+    d_dims = x.shape[1]
 
-    # Batched band matvecs: out[i, d] = sum_j A[d, i, j] v[j, d].
-    mphi_x = jnp.einsum("dij,jd->id", data.mphi, xc)
+    # Batched band matvecs: out[i, d] = sum_j A[d, i, j] v[j, d]. mphi and
+    # GCt both act on xc — one fused (2D)-batched einsum.
+    xc2 = jnp.concatenate([xc, xc], axis=1)  # (n, 2D)
+    fused = jnp.einsum("dij,jd->id", data.mphi_gct, xc2)  # (n, 2D)
+    mphi_x = fused[:, :d_dims]
+    gc_x = fused[:, d_dims:]
     e_deriv = f - data.dotmu - mphi_x
     # Quadratic forms as sums of squares via the banded factors (see
     # LikelihoodData docstring): e' Kinv e = ||GKt e||^2, x' Cinv x = ||GCt x||^2.
     gk_e = jnp.einsum("dij,jd->id", data.GKt, e_deriv)
-    gc_x = jnp.einsum("dij,jd->id", data.GCt, xc)
 
     # Observation term (NaN-masked; -0.5 N_d log(2 pi sigma_d^2) only when
     # the dimension has observations — likelihoods.jl:139-143).
