@@ -74,6 +74,12 @@ class MagiConfig:
     n_chains: int = 1
     max_tree_depth: int = 10
     seed: int = 0
+    # "nuts" (reference-equivalent sampler) or "chees" (ChEES-HMC, Hoffman
+    # et al. 2021): jittered fixed-length HMC with cross-chain trajectory
+    # adaptation — every chain runs the same leapfrog count per iteration,
+    # so many chains batch into single tensor ops with no lockstep waste.
+    # Best with n_chains >= 8; single-device only (chains share statistics).
+    sampler: str = "nuts"
     dtype: Optional[jnp.dtype] = None
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

@@ -1,0 +1,375 @@
+"""ChEES-HMC: accelerator-native adaptive Hamiltonian Monte Carlo.
+
+An ALTERNATIVE sampler to NUTS (config.sampler = "chees"), following
+Hoffman, Radul & Sountsov (AISTATS 2021, "An Adaptive-MCMC Scheme for
+Setting Trajectory Lengths in Hamiltonian Monte Carlo") — the sampler
+designed for exactly this hardware situation:
+
+- Every chain runs the SAME number of leapfrog steps per iteration, so C
+  chains batch into single (C, ...) tensor ops with zero lockstep waste —
+  unlike vmapped NUTS, where the deepest tree gates every chain and the
+  while_loop bookkeeping defeats fusion.
+- Trajectory length T adapts by Adam ascent on the ChEES criterion
+  (Change in the Estimator of the Expected Square): the gradient is
+  estimated from per-chain halting statistics and CROSS-CHAIN means — chain
+  parallelism is the estimator, which is why the reference's single-chain
+  design could never do this.
+- Per-iteration trajectory lengths are jittered by a Halton sequence
+  (t_i = h_i * T), which both decorrelates and provides the exploration the
+  adaptation needs.
+- Step size adapts by dual averaging on the cross-chain harmonic-mean
+  acceptance; the diagonal metric by Welford over all chains' draws.
+
+The MAGI posterior is the intended target: 8-64 chains on one chip, each
+leapfrog step evaluating the fused value-and-grad batched over chains.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .adapt import (
+    DualAveragingState,
+    da_init,
+    da_update,
+)
+
+MAX_LEAPFROG = 1000
+
+
+def halton(i: jnp.ndarray, base: int = 2) -> jnp.ndarray:
+    """Radical-inverse (van der Corput) value of index i in the given base,
+    computed branchlessly over 31 bits."""
+    i = i.astype(jnp.uint32) + 1
+    out = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    f = 1.0 / base
+    val = jnp.zeros_like(out)
+
+    def body(k, carry):
+        val, f, ii = carry
+        digit = ii % base
+        val = val + digit * f
+        return (val, f / base, ii // base)
+
+    val, _, _ = lax.fori_loop(0, 31, body, (val, f, i))
+    return val
+
+
+class CheesState(NamedTuple):
+    qs: jnp.ndarray        # (C, dim)
+    logps: jnp.ndarray     # (C,)
+    grads: jnp.ndarray     # (C, dim)
+    key: jnp.ndarray
+    iteration: jnp.ndarray # scalar int32
+
+
+class CheesAdaptState(NamedTuple):
+    da: DualAveragingState        # step size
+    traj_length: jnp.ndarray      # current T (unjittered mean length)
+    traj_adam_m: jnp.ndarray
+    traj_adam_v: jnp.ndarray
+    traj_count: jnp.ndarray
+    welford_count: jnp.ndarray
+    welford_mean: jnp.ndarray     # (dim,)
+    welford_m2: jnp.ndarray       # (dim,)
+    inv_mass: jnp.ndarray         # (dim,)
+
+
+def chees_init(
+    vg_batched: Callable,
+    qs: jnp.ndarray,
+    key: jnp.ndarray,
+    initial_step_size: float,
+    initial_traj_length: float | None = None,
+) -> Tuple[CheesState, CheesAdaptState]:
+    dtype = qs.dtype
+    c, dim = qs.shape
+    logps, grads = vg_batched(qs)
+    state = CheesState(
+        qs=qs, logps=logps, grads=grads, key=key, iteration=jnp.int32(0)
+    )
+    t0 = initial_traj_length if initial_traj_length else initial_step_size * 8.0
+    adapt = CheesAdaptState(
+        da=da_init(jnp.asarray(initial_step_size, dtype)),
+        traj_length=jnp.asarray(t0, dtype),
+        traj_adam_m=jnp.zeros((), dtype),
+        traj_adam_v=jnp.zeros((), dtype),
+        traj_count=jnp.zeros((), dtype),
+        welford_count=jnp.zeros((), dtype),
+        welford_mean=jnp.zeros((dim,), dtype),
+        welford_m2=jnp.zeros((dim,), dtype),
+        inv_mass=jnp.ones((dim,), dtype),
+    )
+    return state, adapt
+
+
+def _leapfrog_batch(vg_batched, qs, ps, grads, eps, inv_mass, n_steps):
+    """n_steps batched leapfrog steps for all chains at once."""
+
+    def body(_, carry):
+        qs, ps, grads, logps = carry
+        ps_half = ps + 0.5 * eps * grads
+        qs_new = qs + eps * inv_mass[None, :] * ps_half
+        logps_new, grads_new = vg_batched(qs_new)
+        ps_new = ps_half + 0.5 * eps * grads_new
+        return qs_new, ps_new, grads_new, logps_new
+
+    logps0 = jnp.zeros(qs.shape[0], qs.dtype)
+    return lax.fori_loop(
+        0, n_steps, body, (qs, ps, grads, logps0)
+    )
+
+
+def chees_transition(
+    vg_batched: Callable,
+    state: CheesState,
+    eps: jnp.ndarray,
+    inv_mass: jnp.ndarray,
+    traj_length: jnp.ndarray,
+    max_leapfrog: int = MAX_LEAPFROG,
+):
+    """One jittered-HMC iteration for all chains (shared leapfrog count).
+
+    Returns (new_state, info) where info carries per-chain acceptance and
+    the cross-chain ChEES gradient estimate for trajectory adaptation.
+    """
+    dtype = state.qs.dtype
+    c, dim = state.qs.shape
+    key, k_mom, k_acc = jax.random.split(state.key, 3)
+
+    # Halton jitter of the trajectory length (shared across chains).
+    u = halton(state.iteration).astype(dtype)
+    traj = traj_length * u
+    n_steps = jnp.clip(
+        jnp.ceil(traj / eps).astype(jnp.int32), 1, max_leapfrog
+    )
+    traj_actual = n_steps.astype(dtype) * eps
+
+    ps = jax.random.normal(k_mom, state.qs.shape, dtype) / jnp.sqrt(inv_mass)[None, :]
+    h0 = -state.logps + 0.5 * jnp.sum(ps * ps * inv_mass[None, :], axis=1)
+
+    qs_new, ps_new, grads_new, logps_new = _leapfrog_batch(
+        vg_batched, state.qs, ps, state.grads, eps, inv_mass, n_steps
+    )
+    h1 = -logps_new + 0.5 * jnp.sum(ps_new * ps_new * inv_mass[None, :], axis=1)
+    delta = h1 - h0
+    log_accept = jnp.where(jnp.isnan(delta), -jnp.inf, -delta)
+    accept_prob = jnp.exp(jnp.minimum(0.0, log_accept))
+    accept = jax.random.uniform(k_acc, (c,), dtype) < accept_prob
+
+    qs_out = jnp.where(accept[:, None], qs_new, state.qs)
+    logps_out = jnp.where(accept, logps_new, state.logps)
+    grads_out = jnp.where(accept[:, None], grads_new, state.grads)
+
+    # --- ChEES criterion gradient wrt trajectory length ---
+    # ChEES = E[ (||q' - E q'||^2 - ||q - E q||^2)^2 ] / 4; its gradient in
+    # T is estimated with the per-chain proposal end states and momenta
+    # (Hoffman et al. 2021, eq. 8): weight per chain
+    #   w_i = a_i * (||q'_c||^2 - ||q_c||^2) * (q'_c . v'_i)
+    # with centered q, v' = M^{-1} p', a_i the acceptance probability.
+    q_mean = jnp.mean(state.qs, axis=0)
+    qn_mean = jnp.mean(qs_new, axis=0)
+    qc = state.qs - q_mean[None, :]
+    qnc = qs_new - qn_mean[None, :]
+    vs_new = ps_new * inv_mass[None, :]
+    dsq = jnp.sum(qnc * qnc, axis=1) - jnp.sum(qc * qc, axis=1)
+    proj = jnp.sum(qnc * vs_new, axis=1)
+    w = accept_prob * dsq * proj
+    denom = jnp.sum(accept_prob) + 1e-6
+    chees_grad = jnp.sum(w) / denom  # d ChEES / d (trajectory length), up to scale
+    # account for the jitter: d t / d T = u
+    chees_grad = chees_grad * u
+
+    new_state = CheesState(
+        qs=qs_out, logps=logps_out, grads=grads_out, key=key,
+        iteration=state.iteration + 1,
+    )
+    info = {
+        "accept_prob": accept_prob,
+        "accepted": accept,
+        "num_leapfrog": jnp.full((c,), n_steps, jnp.int32),
+        "energy": h0,
+        "diverging": delta > 1000.0,
+        "chees_grad": chees_grad,
+        "traj_actual": traj_actual,
+    }
+    return new_state, info
+
+
+def chees_adapt_update(
+    adapt: CheesAdaptState,
+    qs: jnp.ndarray,
+    info,
+    target_accept: float,
+    eps: jnp.ndarray,
+    adam_lr: float = 0.025,
+) -> CheesAdaptState:
+    """Warmup update: dual averaging on harmonic-mean acceptance, Adam on
+    log T along the ChEES gradient, Welford over all chains."""
+    dtype = qs.dtype
+    c, dim = qs.shape
+    # harmonic mean of per-chain acceptance (robust to stragglers)
+    hmean = 1.0 / jnp.mean(1.0 / jnp.maximum(info["accept_prob"], 1e-10))
+    da = da_update(adapt.da, hmean, target_accept)
+
+    # Adam ascent on log T
+    g = info["chees_grad"] * adapt.traj_length  # d/d log T
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    b1, b2 = 0.9, 0.95
+    t = adapt.traj_count + 1.0
+    m = b1 * adapt.traj_adam_m + (1 - b1) * g
+    v = b2 * adapt.traj_adam_v + (1 - b2) * g * g
+    mhat = m / (1 - b1**t)
+    vhat = v / (1 - b2**t)
+    log_t = jnp.log(adapt.traj_length) + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    # keep T within sane bounds relative to eps
+    traj_length = jnp.clip(
+        jnp.exp(log_t), eps, eps * MAX_LEAPFROG
+    ).astype(dtype)
+
+    # Welford over all chains' current draws
+    count = adapt.welford_count + c
+    delta = qs - adapt.welford_mean[None, :]
+    mean = adapt.welford_mean + jnp.sum(delta, axis=0) / count
+    m2 = adapt.welford_m2 + jnp.sum(delta * (qs - mean[None, :]), axis=0)
+
+    return CheesAdaptState(
+        da=da, traj_length=traj_length,
+        traj_adam_m=m, traj_adam_v=v, traj_count=t,
+        welford_count=count, welford_mean=mean, welford_m2=m2,
+        inv_mass=adapt.inv_mass,
+    )
+
+
+def chees_refresh_mass(adapt: CheesAdaptState) -> CheesAdaptState:
+    """Set the inverse metric from accumulated Welford stats and reset them
+    (called at window boundaries by the driver)."""
+    n = adapt.welford_count
+    var = adapt.welford_m2 / jnp.maximum(n - 1.0, 1.0)
+    w = n / (n + 5.0)
+    inv_mass = w * var + 1e-3 * (1.0 - w)
+    inv_mass = jnp.where(n > 1.0, inv_mass, adapt.inv_mass)
+    return adapt._replace(
+        welford_count=jnp.zeros_like(adapt.welford_count),
+        welford_mean=jnp.zeros_like(adapt.welford_mean),
+        welford_m2=jnp.zeros_like(adapt.welford_m2),
+        inv_mass=inv_mass,
+        da=da_init(jnp.exp(adapt.da.log_eps)),
+    )
+
+
+def run_chees(
+    vg: Callable,
+    psi0: jnp.ndarray,   # (C, dim)
+    key: jnp.ndarray,
+    n_samples: int,
+    n_adapts: int,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.75,
+    chunk_size: int = 2000,
+    progress: bool = False,
+):
+    """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
+    (single-device; the batched axis IS the chain axis). Returns
+    (samples (C, S, dim) numpy, info dict)."""
+    import logging
+    import time as _time
+
+    logger = logging.getLogger(__name__)
+    dtype = psi0.dtype
+    c, dim = psi0.shape
+    n_keep = n_samples - n_adapts
+    vg_batched = jax.vmap(vg)
+
+    state, adapt = chees_init(vg_batched, psi0, key, initial_step_size)
+
+    # Stan-like windows for metric refreshes.
+    from .adapt import build_window_schedule
+
+    _, window_end = build_window_schedule(n_adapts)
+
+    @jax.jit
+    def warmup_chunk(state, adapt, we_flags):
+        def step(carry, we):
+            state, adapt = carry
+            eps = jnp.exp(adapt.da.log_eps).astype(dtype)
+            new_state, info = chees_transition(
+                vg_batched, state, eps, adapt.inv_mass, adapt.traj_length
+            )
+            adapt = chees_adapt_update(
+                adapt, new_state.qs, info, target_accept, eps
+            )
+            adapt = jax.lax.cond(
+                we, chees_refresh_mass, lambda a: a, adapt
+            )
+            return (new_state, adapt), info["diverging"]
+
+        (state, adapt), div = lax.scan(step, (state, adapt), we_flags)
+        return state, adapt, div
+
+    def sample_chunk(state, eps, inv_mass, traj_length, length):
+        def step(state, _):
+            new_state, info = chees_transition(
+                vg_batched, state, eps, inv_mass, traj_length
+            )
+            return new_state, (new_state.qs, new_state.logps, info)
+
+        return lax.scan(step, state, None, length=length)
+
+    t0 = _time.time()
+    pos = 0
+    while pos < n_adapts:
+        length = min(chunk_size, n_adapts - pos)
+        we = jnp.asarray(window_end[pos : pos + length])
+        state, adapt, _ = warmup_chunk(state, adapt, we)
+        pos += length
+        if progress:
+            logger.info("chees warmup %d/%d (%.1fs)", pos, n_adapts, _time.time() - t0)
+
+    eps_final = jnp.exp(adapt.da.log_eps_avg).astype(dtype)
+    inv_mass_final = adapt.inv_mass
+    traj_final = adapt.traj_length
+
+    qs_parts, lp_parts, acc_parts, leap_parts, div_parts = [], [], [], [], []
+    pos = 0
+    sample_chunk_by_len = {}
+    while pos < n_keep:
+        length = min(chunk_size, n_keep - pos)
+        if length not in sample_chunk_by_len:
+            from functools import partial
+
+            sample_chunk_by_len[length] = jax.jit(
+                partial(sample_chunk, length=length)
+            )
+        state, (qs, lps, info) = sample_chunk_by_len[length](
+            state, eps_final, inv_mass_final, traj_final
+        )
+        qs_parts.append(np.asarray(jnp.swapaxes(qs, 0, 1)))   # (C, len, dim)
+        lp_parts.append(np.asarray(jnp.swapaxes(lps, 0, 1)))
+        acc_parts.append(np.asarray(jnp.swapaxes(info["accept_prob"], 0, 1)))
+        leap_parts.append(np.asarray(jnp.swapaxes(info["num_leapfrog"], 0, 1)))
+        div_parts.append(np.asarray(jnp.swapaxes(info["diverging"], 0, 1)))
+        pos += length
+        if progress:
+            logger.info("chees sampling %d/%d (%.1fs)", pos, n_keep, _time.time() - t0)
+
+    samples = np.concatenate(qs_parts, axis=1) if qs_parts else np.zeros((c, 0, dim))
+    info_out = {
+        "lp": np.concatenate(lp_parts, axis=1),
+        "accept_prob": np.concatenate(acc_parts, axis=1),
+        "num_leapfrog": np.concatenate(leap_parts, axis=1),
+        "tree_depth": np.zeros_like(np.concatenate(leap_parts, axis=1)),
+        "diverging": np.concatenate(div_parts, axis=1),
+        "energy": np.zeros_like(np.concatenate(lp_parts, axis=1)),
+        "step_size": np.asarray(eps_final),
+        "inv_mass": np.asarray(inv_mass_final),
+        "trajectory_length": float(traj_final),
+        "final_psi": np.asarray(state.qs),
+        "final_key": np.asarray(state.key),
+        "warmup_diverging": np.zeros((c, 0)),
+    }
+    return samples, info_out

@@ -414,19 +414,41 @@ def solve_magi(
 
     t_sample = time.time()
     with profile_cm:
-        samples, info = run_chains(
-            vg,
-            jnp.asarray(psi0_chains, dtype=dtype),
-            jax.random.split(key, n_chains),
-            n_samples=config.niter_hmc,
-            n_adapts=n_adapts,
-            initial_step_size=config.step_size_factor,
-            target_accept=config.target_accept_ratio,
-            max_depth=config.max_tree_depth,
-            mesh=mesh,
-            chunk_size=config.chunk_size,
-            progress=config.verbose,
-        )
+        if config.sampler == "chees":
+            if mesh is not None:
+                raise MagiError(
+                    "sampler='chees' shares statistics across chains and is "
+                    "single-device; use sampler='nuts' with a mesh."
+                )
+            from .chees import run_chees
+
+            samples, info = run_chees(
+                vg,
+                jnp.asarray(psi0_chains, dtype=dtype),
+                key,
+                n_samples=config.niter_hmc,
+                n_adapts=n_adapts,
+                initial_step_size=config.step_size_factor,
+                target_accept=config.target_accept_ratio,
+                chunk_size=config.chunk_size,
+                progress=config.verbose,
+            )
+        elif config.sampler == "nuts":
+            samples, info = run_chains(
+                vg,
+                jnp.asarray(psi0_chains, dtype=dtype),
+                jax.random.split(key, n_chains),
+                n_samples=config.niter_hmc,
+                n_adapts=n_adapts,
+                initial_step_size=config.step_size_factor,
+                target_accept=config.target_accept_ratio,
+                max_depth=config.max_tree_depth,
+                mesh=mesh,
+                chunk_size=config.chunk_size,
+                progress=config.verbose,
+            )
+        else:
+            raise MagiError(f"unknown sampler '{config.sampler}'")
     samples = np.asarray(samples)  # (C, S, dim)
     sampling_time = time.time() - t_sample
 
@@ -471,7 +493,10 @@ def solve_magi(
         "total_time_s": time.time() - t_start,
         "gradient_evals": float(np.sum(np.asarray(info["num_leapfrog"]))),
         "sigma_is_fixed": sigma_is_fixed,
+        "sampler": config.sampler,
     }
+    if "trajectory_length" in info:
+        diagnostics["trajectory_length"] = info["trajectory_length"]
     return MagiResult(
         theta=theta_samples,
         x_sampled=x_samples,
