@@ -104,6 +104,12 @@ class MagiConfig:
     # enforced with Jacobian correction). False = reference parity: bounds
     # only applied at initialization (MagiJl.jl:413-453), chains may cross.
     theta_constrained: bool = False
+    # Whiten the latent states: sample z with x = x_init + W z where W is
+    # the inverse Cholesky of the posterior's Gaussian x-precision
+    # (inference/whiten.py). Exactly posterior-preserving; collapses the
+    # GP-induced condition number (~1e6) of the x-block so NUTS stops
+    # saturating max tree depth. False = reference parity (raw x sampling).
+    x_whitened: bool = False
     # GP prior mean: None (zero-mean, reference parity), "observed" (per-dim
     # mean of the finite observations; unobserved dims stay 0), a (D,)
     # vector of constants, or a full (n, D) trajectory. The zero-mean prior

@@ -92,7 +92,9 @@ def chees_init(
     state = CheesState(
         qs=qs, logps=logps, grads=grads, key=key, iteration=jnp.int32(0)
     )
-    t0 = initial_traj_length if initial_traj_length else initial_step_size * 8.0
+    # Start T well above the floor so adaptation explores downward AND
+    # upward (tfp-style default: ~32 steps worth).
+    t0 = initial_traj_length if initial_traj_length else initial_step_size * 32.0
     adapt = CheesAdaptState(
         da=da_init(jnp.asarray(initial_step_size, dtype)),
         traj_length=jnp.asarray(t0, dtype),
@@ -226,9 +228,12 @@ def chees_adapt_update(
     mhat = m / (1 - b1**t)
     vhat = v / (1 - b2**t)
     log_t = jnp.log(adapt.traj_length) + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-    # keep T within sane bounds relative to eps
+    # Keep T within sane bounds relative to eps. The floor of 4 steps guards
+    # against the coincident-start death spiral: with all chains at the same
+    # point the criterion gradient is pure noise, and once T hits one step
+    # proposals stop moving and the gradient stays ~0 forever.
     traj_length = jnp.clip(
-        jnp.exp(log_t), eps, eps * MAX_LEAPFROG
+        jnp.exp(log_t), 4.0 * eps, eps * MAX_LEAPFROG
     ).astype(dtype)
 
     # Welford over all chains' current draws
@@ -272,10 +277,16 @@ def run_chees(
     target_accept: float = 0.75,
     chunk_size: int = 2000,
     progress: bool = False,
+    init_jitter: float = 1e-3,
+    initial_traj_length: float | None = None,
 ):
     """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
     (single-device; the batched axis IS the chain axis). Returns
-    (samples (C, S, dim) numpy, info dict)."""
+    (samples (C, S, dim) numpy, info dict).
+
+    ``init_jitter`` disperses chains 1..C-1 around psi0 — the ChEES
+    criterion is a CROSS-CHAIN variance statistic and degenerates when all
+    chains start coincident."""
     import logging
     import time as _time
 
@@ -285,7 +296,14 @@ def run_chees(
     n_keep = n_samples - n_adapts
     vg_batched = jax.vmap(vg)
 
-    state, adapt = chees_init(vg_batched, psi0, key, initial_step_size)
+    if init_jitter > 0 and c > 1:
+        key, k_jit = jax.random.split(key)
+        noise = init_jitter * jax.random.normal(k_jit, psi0.shape, dtype)
+        psi0 = psi0.at[1:].add(noise[1:])
+
+    state, adapt = chees_init(
+        vg_batched, psi0, key, initial_step_size, initial_traj_length
+    )
 
     # Stan-like windows for metric refreshes.
     from .adapt import build_window_schedule

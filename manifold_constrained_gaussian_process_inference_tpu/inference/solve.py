@@ -393,6 +393,34 @@ def solve_magi(
             slice(n_times * n_dims, n_times * n_dims + k),
             map_lb, map_ub, dtype,
         )
+
+    # --- Laplace whitening of Psi (TPU-native extension; whiten.py) ---
+    whitener = None
+    if config.x_whitened:
+        from .whiten import (
+            build_psi_whitener,
+            gauss_newton_map,
+            wrap_value_and_grad,
+        )
+
+        # Adam stalls far from the mode (curvature spans ~6 orders of
+        # magnitude) and a whitener built off-mode misleads the sampler;
+        # damped Gauss-Newton with the same precision model reaches the
+        # mode in a few iterations, then the whitener is built there.
+        freeze = (
+            None if sigma_is_fixed
+            else slice(n_times * n_dims + k, target.dimension)
+        )
+        psi0 = gauss_newton_map(
+            vg, gp_cov, y_obs, target, psi0, prior_temps, freeze=freeze
+        )
+        whitener = build_psi_whitener(
+            gp_cov, y_obs, target, psi0, prior_temps, dtype
+        )
+        vg = wrap_value_and_grad(vg, whitener)
+        psi0 = np.zeros(target.dimension)
+        logger.info("Psi whitening enabled (Gauss-Newton Laplace at mode)")
+
     n_chains = int(config.n_chains)
     key = jax.random.PRNGKey(config.seed)
 
@@ -454,6 +482,12 @@ def solve_magi(
 
     # --- results processing (MagiJl.jl:633-771) ---
     n_keep = samples.shape[1]
+    if whitener is not None:
+        from .whiten import zeta_to_psi_np
+
+        samples = zeta_to_psi_np(
+            whitener, samples.reshape(-1, samples.shape[-1])
+        ).reshape(samples.shape)
     flat = samples.reshape(n_chains * n_keep, -1)
     x_samples = (
         flat[:, : n_times * n_dims]

@@ -54,6 +54,8 @@ class MagiTarget:
     use_pallas: bool = False
     # Optional bounded reparameterization of theta (inference/transforms.py).
     # None -> theta sampled unconstrained (reference parity).
+    # (Psi-level Laplace whitening lives OUTSIDE the target —
+    # inference/whiten.py wraps the value-and-grad closure.)
     theta_transform: object = None
 
     @classmethod

@@ -1,0 +1,108 @@
+"""Laplace whitening tests: the transform must preserve the posterior
+exactly, the GN precision must match the true Hessian's conditioning, and
+the solver path must produce the same posterior as raw sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import manifold_constrained_gaussian_process_inference_tpu as m
+from manifold_constrained_gaussian_process_inference_tpu.config import MagiConfig
+from manifold_constrained_gaussian_process_inference_tpu.inference.solve import (
+    _init_x_interpolation,
+    solve_magi,
+)
+from manifold_constrained_gaussian_process_inference_tpu.inference.target import (
+    MagiTarget,
+)
+from manifold_constrained_gaussian_process_inference_tpu.inference.whiten import (
+    build_psi_whitener,
+    gauss_newton_map,
+    psi_to_zeta_np,
+    wrap_value_and_grad,
+    zeta_to_psi_np,
+)
+from manifold_constrained_gaussian_process_inference_tpu.models import FN_SYSTEM
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n = 21
+    t = np.linspace(0, 6, n)
+    y = np.stack([np.sin(t), np.cos(t)], -1) + 0.2 * rng.normal(size=(n, 2))
+    phi = np.array([[1.5, 1.5], [1.2, 1.2]])
+    cov = m.build_gp_cov("matern52", phi, t, bandsize=20, complexity=2)
+    tgt = MagiTarget.build(y, cov, FN_SYSTEM, np.array([0.2, 0.2]),
+                           (1.0, 1.0, 1.0), False)
+    x0 = _init_x_interpolation(y, t)
+    psi0 = np.concatenate([x0.T.reshape(-1), [0.2, 0.2, 3.0], np.log([0.2, 0.2])])
+    return y, cov, tgt, psi0
+
+
+def test_wrapped_density_is_exact_reparameterization(problem):
+    y, cov, tgt, psi0 = problem
+    vg = tgt.value_and_grad_fn()
+    wh = build_psi_whitener(cov, y, tgt, psi0, (1.0, 1.0, 1.0), jnp.float64)
+    vgz = wrap_value_and_grad(vg, wh)
+    rng = np.random.default_rng(1)
+    zeta = jnp.asarray(rng.normal(size=psi0.shape) * 0.1)
+    v_z, g_z = vgz(zeta)
+    psi = np.asarray(wh.center) + np.asarray(wh.W) @ np.asarray(zeta)
+    v_direct, g_psi = vg(jnp.asarray(psi))
+    assert np.isclose(float(v_z), float(v_direct), rtol=1e-10)
+    # chain rule
+    assert np.allclose(
+        np.asarray(g_z), np.asarray(wh.W).T @ np.asarray(g_psi), rtol=1e-8
+    )
+    # round trips
+    back = psi_to_zeta_np(wh, zeta_to_psi_np(wh, np.asarray(zeta)[None])[0])
+    assert np.allclose(back, np.asarray(zeta), atol=1e-8)
+
+
+def test_gauss_newton_map_beats_adam_scale(problem):
+    y, cov, tgt, psi0 = problem
+    vg = tgt.value_and_grad_fn()
+    v0, _ = vg(jnp.asarray(psi0))
+    psi_map = gauss_newton_map(vg, cov, y, tgt, psi0, (1.0, 1.0, 1.0))
+    v1, _ = vg(jnp.asarray(psi_map))
+    assert float(v1) > float(v0)
+    assert float(v1) > -500.0  # near-mode scale for this problem
+
+
+def test_whitened_curvature_near_unit(problem):
+    y, cov, tgt, psi0 = problem
+    vg = tgt.value_and_grad_fn()
+    psi_map = gauss_newton_map(vg, cov, y, tgt, psi0, (1.0, 1.0, 1.0))
+    wh = build_psi_whitener(cov, y, tgt, psi_map, (1.0, 1.0, 1.0), jnp.float64)
+    ld = tgt.logdensity_fn()
+    h = np.asarray(jax.hessian(ld)(jnp.asarray(psi_map)))
+    w = np.asarray(wh.W)
+    hz = w.T @ (-h) @ w
+    ev = np.linalg.eigvalsh(0.5 * (hz + hz.T))
+    raw = np.linalg.eigvalsh(-0.5 * (h + h.T))
+    # conditioning collapses by orders of magnitude
+    assert ev.max() < 1e-2 * raw.max()  # spectral radius collapses
+    # near-unit curvature (GN at an approximate mode: small negative
+    # eigenvalues are possible in non-convex directions)
+    assert -0.5 < ev.min() and ev.max() < 20.0
+    assert np.median(ev) == pytest.approx(1.0, abs=0.3)
+
+
+def test_solver_whitened_matches_raw_posterior():
+    rng = np.random.default_rng(3)
+    n = 15
+    t = np.linspace(0, 5, n)
+    y = np.stack([np.sin(t), np.cos(t)], -1) + 0.2 * rng.normal(size=(n, 2))
+    common = dict(
+        niter_hmc=800, seed=11, gp_optim_iterations=40,
+        map_init_iterations=200, step_size_factor=0.05,
+    )
+    res_raw = solve_magi(y, t, FN_SYSTEM, MagiConfig(x_whitened=False, **common))
+    res_wh = solve_magi(y, t, FN_SYSTEM, MagiConfig(x_whitened=True, **common))
+    # same posterior: trajectory means agree within posterior sd scale
+    xm_raw = res_raw.x_sampled.mean(0)
+    xm_wh = res_wh.x_sampled.mean(0)
+    sd = res_raw.x_sampled.std(0) + 0.05
+    assert np.all(np.abs(xm_raw - xm_wh) < 5 * sd)
+    assert np.all(np.isfinite(res_wh.theta))
