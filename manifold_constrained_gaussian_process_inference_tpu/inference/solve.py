@@ -407,15 +407,38 @@ def solve_magi(
         # magnitude) and a whitener built off-mode misleads the sampler;
         # damped Gauss-Newton with the same precision model reaches the
         # mode in a few iterations, then the whitener is built there.
+        # The Newton line search needs float64 values (f32 representation
+        # noise at |lp| ~ 1e5 stalls it early), so when sampling in f32 the
+        # MAP runs on a float64 CPU replica of the target — setup-time only.
         freeze = (
             None if sigma_is_fixed
             else slice(n_times * n_dims + k, target.dimension)
         )
-        psi0 = gauss_newton_map(
-            vg, gp_cov, y_obs, target, psi0, prior_temps, freeze=freeze
-        )
+        if dtype == jnp.float64:
+            psi0 = gauss_newton_map(
+                vg, gp_cov, y_obs, target, psi0, prior_temps, freeze=freeze
+            )
+            gp_cov_map = gp_cov
+        else:
+            with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+                gp_cov_map = build_gp_cov(
+                    config.kernel, phi_all, t_obs,
+                    bandsize=config.band_size, complexity=2,
+                    jitter=config.jitter, dtype=jnp.float64,
+                    check_eigenvalues=False,
+                )
+                target64 = MagiTarget.build(
+                    y_obs, gp_cov_map, ode_system, sigma_init, prior_temps,
+                    sigma_is_fixed, dtype=jnp.float64, band_impl="dense",
+                    theta_transform=theta_transform, gp_mean=gp_mean,
+                )
+                vg64 = jax.jit(target64.value_and_grad_fn())
+                psi0 = gauss_newton_map(
+                    vg64, gp_cov_map, y_obs, target64, psi0, prior_temps,
+                    freeze=freeze,
+                )
         whitener = build_psi_whitener(
-            gp_cov, y_obs, target, psi0, prior_temps, dtype
+            gp_cov_map, y_obs, target, psi0, prior_temps, dtype
         )
         vg = wrap_value_and_grad(vg, whitener)
         psi0 = np.zeros(target.dimension)
