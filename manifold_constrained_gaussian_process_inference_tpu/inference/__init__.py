@@ -8,6 +8,9 @@ from .checkpoint import (  # noqa: F401
 )
 from .nlml import negative_log_marginal_likelihood, optimize_gp_hyperparameters  # noqa: F401
 from .nuts import nuts_transition, run_nuts  # noqa: F401
+
+# Name parity with the reference export (samplers.jl: run_nuts_sampler).
+run_nuts_sampler = run_nuts
 from .solve import MagiError, MagiResult, map_warm_start, solve_magi  # noqa: F401
 from .target import MagiTarget  # noqa: F401
 from .transforms import ThetaTransform, make_theta_transform  # noqa: F401
