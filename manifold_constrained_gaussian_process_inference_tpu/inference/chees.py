@@ -45,9 +45,10 @@ def halton(i: jnp.ndarray, base: int = 2) -> jnp.ndarray:
     """Radical-inverse (van der Corput) value of index i in the given base,
     computed branchlessly over 31 bits."""
     i = i.astype(jnp.uint32) + 1
-    out = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     f = 1.0 / base
-    val = jnp.zeros_like(out)
+    val = jnp.zeros(
+        (), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
 
     def body(k, carry):
         val, f, ii = carry

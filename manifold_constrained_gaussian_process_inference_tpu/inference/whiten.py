@@ -28,7 +28,7 @@ MAGI runs need 20k-100k NUTS iterations.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -153,6 +153,50 @@ def test_band_impl_band_through_solver():
     assert np.all(np.isfinite(res.x_sampled))
 
 
+def test_exogenous_x_and_theta_init():
+    """:xInit and :thetaInit config paths (MagiJl.jl:403-453), including the
+    out-of-bounds thetaInit clamping warning."""
+    t_grid, y_grid, _, x_at_obs = _fn_data(n_obs=9, t_end=4.0, fill=0)
+    cfg = MagiConfig(
+        niter_hmc=20, seed=9,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+        x_init=x_at_obs,
+        theta_init=[-1.0, 0.2, 3.0],  # first entry below lb=0 -> clamped
+    )
+    res = solve_magi(y_grid, t_grid, FN_SYSTEM, cfg)
+    assert np.all(np.isfinite(res.theta))
+    # wrong shapes raise
+    with pytest.raises(MagiError):
+        solve_magi(
+            y_grid, t_grid, FN_SYSTEM,
+            MagiConfig(niter_hmc=10, x_init=x_at_obs[:3],
+                       sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]])),
+        )
+    with pytest.raises(MagiError):
+        solve_magi(
+            y_grid, t_grid, FN_SYSTEM,
+            MagiConfig(niter_hmc=10, theta_init=[0.1],
+                       sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]])),
+        )
+
+
+def test_derivative_fallback_kernel_runs():
+    """kernel='matern-1.5': C computed, derivative blocks zero -> Kphi
+    collapses to jitter*I (gaussian_process.jl:319-331) — the solve still
+    runs (pure GP smoothing, no manifold constraint)."""
+    import warnings
+
+    t_grid, y_grid, _, _ = _fn_data(n_obs=7, t_end=3.0, fill=0)
+    cfg = MagiConfig(
+        niter_hmc=10, kernel="matern-1.5", seed=5,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = solve_magi(y_grid, t_grid, FN_SYSTEM, cfg)
+    assert np.all(np.isfinite(res.lp))
+
+
 def test_dimension_errors():
     t = np.linspace(0, 1, 5)
     y = np.zeros((5, 2))
