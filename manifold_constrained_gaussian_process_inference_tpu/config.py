@@ -74,12 +74,15 @@ class MagiConfig:
     n_chains: int = 1
     max_tree_depth: int = 10
     seed: int = 0
-    # "nuts" (reference-equivalent sampler) or "chees" (ChEES-HMC, Hoffman
-    # et al. 2021): jittered fixed-length HMC with cross-chain trajectory
-    # adaptation — every chain runs the same leapfrog count per iteration,
-    # so many chains batch into single tensor ops with no lockstep waste.
-    # Best with n_chains >= 8; single-device only (chains share statistics).
+    # "nuts" (reference-equivalent sampler), "chees" (ChEES-HMC, Hoffman et
+    # al. 2021: jittered fixed-length HMC, chains batch into single tensor
+    # ops; best with n_chains >= 8, single-device), or "pt-nuts" (parallel
+    # tempering: a ladder of pt_temps tempered NUTS chains with Metropolis
+    # swaps — crosses posterior modes single chains cannot; returns the
+    # T=1 chain's draws).
     sampler: str = "nuts"
+    pt_temps: int = 8
+    pt_max_temp: float = 32.0
     dtype: Optional[jnp.dtype] = None
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

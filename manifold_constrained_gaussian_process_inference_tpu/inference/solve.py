@@ -484,6 +484,40 @@ def solve_magi(
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
             )
+        elif config.sampler == "pt-nuts":
+            from .tempering import run_parallel_tempering
+
+            if n_chains != 1:
+                logger.warning(
+                    "sampler='pt-nuts' runs one temperature ladder; "
+                    "n_chains=%d ignored.", n_chains,
+                )
+                n_chains = 1
+            s_pt, info = run_parallel_tempering(
+                vg,
+                jnp.asarray(psi0_chains[0], dtype=dtype),
+                key,
+                n_samples=config.niter_hmc,
+                n_adapts=n_adapts,
+                n_temps=config.pt_temps,
+                max_temp=config.pt_max_temp,
+                initial_step_size=config.step_size_factor,
+                target_accept=config.target_accept_ratio,
+                max_depth=config.max_tree_depth,
+                chunk_size=config.chunk_size,
+                progress=config.verbose,
+            )
+            samples = s_pt[None]  # (1, S, dim)
+            # normalize info to the (C, S) layout of run_chains
+            info = dict(info)
+            info["lp"] = info["lp"][None]
+            info["diverging"] = info["diverging"][:, 0][None]
+            info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+            info["accept_prob"] = np.ones_like(info["lp"])
+            info["tree_depth"] = np.zeros_like(info["lp"])
+            info["energy"] = np.zeros_like(info["lp"])
+            info["final_psi"] = info["final_psi"][:1]
+            info["warmup_diverging"] = np.zeros((1, 0))
         elif config.sampler == "nuts":
             samples, info = run_chains(
                 vg,
@@ -554,6 +588,9 @@ def solve_magi(
     }
     if "trajectory_length" in info:
         diagnostics["trajectory_length"] = info["trajectory_length"]
+    if "swap_acceptance" in info:
+        diagnostics["swap_acceptance"] = info["swap_acceptance"]
+        diagnostics["temperatures"] = info["temperatures"]
     return MagiResult(
         theta=theta_samples,
         x_sampled=x_samples,
