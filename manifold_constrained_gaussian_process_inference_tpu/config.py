@@ -82,7 +82,9 @@ class MagiConfig:
     # T=1 chain's draws).
     sampler: str = "nuts"
     pt_temps: int = 8
-    pt_max_temp: float = 32.0
+    # None -> dimension-aware ladder spacing (1 + sqrt(2/dim))^k, which
+    # keeps adjacent-rung swap acceptance usable in high dimension.
+    pt_max_temp: Optional[float] = None
     dtype: Optional[jnp.dtype] = None
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

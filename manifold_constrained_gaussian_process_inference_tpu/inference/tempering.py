@@ -54,6 +54,19 @@ def geometric_ladder(n_temps: int, t_max: float = 32.0) -> np.ndarray:
     return t_max ** (np.arange(n_temps) / (n_temps - 1))
 
 
+def auto_ladder(n_temps: int, dim: int) -> np.ndarray:
+    """Dimension-aware geometric ladder.
+
+    Swap acceptance between adjacent temperatures behaves like
+    exp(-(dT/T)^2 dim / 2) for a dim-dimensional target, so the spacing
+    must shrink as 1 + sqrt(2/dim) (measured: a [1..64] ladder over 6 rungs
+    gets 0.5% swap acceptance at dim=799; this spacing gets tens of
+    percent). High barriers in high dimension therefore need MANY rungs —
+    prefer increasing n_temps over widening the ladder."""
+    spacing = 1.0 + np.sqrt(2.0 / max(dim, 1))
+    return spacing ** np.arange(n_temps)
+
+
 class PTCarry(NamedTuple):
     qs: jnp.ndarray        # (K, dim)
     lp: jnp.ndarray        # (K,) UNTEMPERED log-posterior
@@ -161,7 +174,7 @@ def run_parallel_tempering(
     n_adapts: int,
     temperatures=None,
     n_temps: int = 8,
-    max_temp: float = 32.0,
+    max_temp=None,
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     max_depth: int = 10,
@@ -173,7 +186,11 @@ def run_parallel_tempering(
     dim = psi0.shape[0]
     n_keep = n_samples - n_adapts
     if temperatures is None:
-        temperatures = geometric_ladder(n_temps, max_temp)
+        temperatures = (
+            geometric_ladder(n_temps, max_temp)
+            if max_temp is not None
+            else auto_ladder(n_temps, dim)
+        )
     temperatures = np.asarray(temperatures, dtype=np.float64)
     k_temps = len(temperatures)
     inv_temps = jnp.asarray(1.0 / temperatures, dtype)
