@@ -108,7 +108,38 @@ def bench_device_grad(target, psi0, n_evals=3000):
     return n_evals / dt
 
 
-def bench_nuts_ess(target, psi0, n_chains=4, n_samples=600, n_adapts=300):
+def bench_pt_recovery(target, psi0, host, n_iters=1500):
+    """Parallel-tempering recovery: theta/sigma RMSE vs the known truth of
+    the synthetic workload — the verifiable end-to-end quality metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from manifold_constrained_gaussian_process_inference_tpu.inference.tempering import (
+        run_parallel_tempering,
+    )
+
+    dtype = target.data.mask.dtype
+    vg = target.value_and_grad_fn()
+    n, d, k = target.n_times, target.n_dims, target.n_params_ode
+    t0 = time.perf_counter()
+    s, info = run_parallel_tempering(
+        vg, jnp.asarray(psi0, dtype), jax.random.PRNGKey(0),
+        n_samples=n_iters, n_adapts=n_iters // 2, n_temps=12,
+        initial_step_size=0.01, chunk_size=1000,
+    )
+    dt = time.perf_counter() - t0
+    theta = s[:, n * d : n * d + k].mean(axis=0)
+    sigma = np.exp(s[:, n * d + k :]).mean(axis=0)
+    theta_true = host["theta"]
+    return dict(
+        theta_rmse=float(np.sqrt(np.mean((theta - theta_true) ** 2))),
+        sigma_rmse=float(np.sqrt(np.mean((sigma - 0.2) ** 2))),
+        theta_mean=[round(float(x), 4) for x in theta],
+        time_s=dt,
+    )
+
+
+def bench_nuts_ess(target, psi0, n_chains=16, n_samples=600, n_adapts=300):
     import jax
     import jax.numpy as jnp
 
@@ -296,6 +327,19 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"NUTS stage failed: {type(e).__name__}: {e}")
         result["nuts_stage_error"] = f"{type(e).__name__}"
+
+    try:
+        pt = bench_pt_recovery(target, psi0, host)
+        log(f"pt recovery: {pt}")
+        result.update(
+            pt_theta_rmse=round(pt["theta_rmse"], 4),
+            pt_sigma_rmse=round(pt["sigma_rmse"], 4),
+            pt_theta_mean=pt["theta_mean"],
+            pt_time_s=round(pt["time_s"], 1),
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"PT stage failed: {type(e).__name__}: {e}")
+        result["pt_stage_error"] = f"{type(e).__name__}"
 
     print(json.dumps(result))
 
