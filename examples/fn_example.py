@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--seed", type=int, default=12345)
     ap.add_argument("--filllevel", type=int, default=2)
     ap.add_argument("--outdir", default="./magi_output")
+    ap.add_argument("--sampler", default="nuts", choices=["nuts", "chees", "pt-nuts"])
+    ap.add_argument("--whiten", action="store_true",
+                    help="Laplace-whiten Psi (see inference/whiten.py)")
     ap.add_argument("--quick", action="store_true", help="tiny run for smoke testing")
     args = ap.parse_args()
     if args.quick:
@@ -89,6 +92,8 @@ def main():
         prior_temperature=(1.0, 1.0, 5.0),
         n_chains=args.chains,
         seed=args.seed,
+        sampler=args.sampler,
+        x_whitened=args.whiten,
     )
     t0 = time.time()
     results = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, config)

@@ -63,6 +63,29 @@ def test_chain_count_mesh_mismatch_raises(vg):
         run_chains(vg, psi0, keys, n_samples=4, n_adapts=2, mesh=mesh)
 
 
+def test_solve_magi_with_mesh():
+    """solve_magi end-to-end with chains sharded over the device mesh."""
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import MagiConfig
+    from manifold_constrained_gaussian_process_inference_tpu.inference.solve import (
+        solve_magi,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import FN_SYSTEM
+
+    if N_DEV < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4, 9)
+    y = np.stack([np.sin(t), np.cos(t)], -1) + 0.2 * rng.normal(size=(9, 2))
+    cfg = MagiConfig(
+        niter_hmc=40, n_chains=N_DEV, seed=3,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    res = solve_magi(y, t, FN_SYSTEM, cfg, mesh=make_chain_mesh(N_DEV))
+    assert res.theta.shape == (N_DEV * 20, 3)
+    assert np.all(np.isfinite(res.theta))
+
+
 def test_graft_entry_dryrun():
     import sys
 
