@@ -30,7 +30,6 @@ from ..config import MagiConfig
 from ..models.base import OdeSystem
 from ..ops.gp_cov import build_gp_cov
 from .nlml import default_initial_guesses, optimize_gp_hyperparameters
-from .nuts import run_nuts
 from .target import MagiTarget
 
 logger = logging.getLogger(__name__)

@@ -77,6 +77,31 @@ def test_split_rhat_detects_nonconvergence():
     assert split_rhat(bad) > 1.5
 
 
+def test_results_to_chain_multichain(rng):
+    """Multi-chain results reshape into (C, S/C, P) preserving chain order."""
+    c, s_per, k = 4, 50, 2
+    theta = np.concatenate(
+        [np.full((s_per, k), float(i)) + rng.normal(size=(s_per, k)) * 0.01
+         for i in range(c)]
+    )
+    res = MagiResult(
+        theta=theta,
+        x_sampled=rng.normal(size=(c * s_per, 5, 1)),
+        sigma=np.full((c * s_per, 1), 0.2),
+        phi=np.ones((2, 1)),
+        lp=rng.normal(size=c * s_per),
+        diagnostics={"n_chains": c},
+    )
+    chain = results_to_chain(res)
+    assert chain["samples"].shape == (c, s_per, k)
+    # chain i holds values near i
+    for i in range(c):
+        assert abs(chain["samples"][i].mean() - i) < 0.1
+    # split-rhat across these synthetic 'stuck' chains must flag divergence
+    summ = summarize_chains(chain["samples"], names=chain["names"])
+    assert np.all(np.asarray(summ["rhat"]) > 2.0)
+
+
 def test_plot_magi_smoke(dummy_results, tmp_path):
     pytest.importorskip("matplotlib")
     from manifold_constrained_gaussian_process_inference_tpu.postprocess import (
