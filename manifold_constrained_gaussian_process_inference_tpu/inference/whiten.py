@@ -192,8 +192,8 @@ def gauss_newton_map(
     target,
     psi0: np.ndarray,
     prior_temperature,
-    n_newton: int = 12,
-    tol: float = 1e-3,
+    n_newton: int = 60,
+    tol: float = 1e-4,
     freeze: slice | None = None,
 ):
     """MAP optimization by damped Gauss-Newton: step = P(psi)^{-1} grad with
