@@ -280,6 +280,7 @@ def run_chees(
     progress: bool = False,
     init_jitter: float = 1e-3,
     initial_traj_length: float | None = None,
+    adapt_trajectory: bool = True,
 ):
     """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
     (single-device; the batched axis IS the chain axis). Returns
@@ -287,7 +288,9 @@ def run_chees(
 
     ``init_jitter`` disperses chains 1..C-1 around psi0 — the ChEES
     criterion is a CROSS-CHAIN variance statistic and degenerates when all
-    chains start coincident."""
+    chains start coincident. ``adapt_trajectory=False`` pins T at
+    ``initial_traj_length`` (the ChEES criterion can collapse on rugged
+    multiscale targets; a pinned jittered T is a robust fallback)."""
     import logging
     import time as _time
 
@@ -305,6 +308,7 @@ def run_chees(
     state, adapt = chees_init(
         vg_batched, psi0, key, initial_step_size, initial_traj_length
     )
+    t_pinned = float(adapt.traj_length)
 
     # Stan-like windows for metric refreshes.
     from .adapt import build_window_schedule
@@ -322,6 +326,10 @@ def run_chees(
             adapt = chees_adapt_update(
                 adapt, new_state.qs, info, target_accept, eps
             )
+            if not adapt_trajectory:
+                adapt = adapt._replace(
+                    traj_length=jnp.asarray(t_pinned, dtype)
+                )
             adapt = jax.lax.cond(
                 we, chees_refresh_mass, lambda a: a, adapt
             )
