@@ -11,6 +11,14 @@ from .nuts import nuts_transition, run_nuts  # noqa: F401
 
 # Name parity with the reference export (samplers.jl: run_nuts_sampler).
 run_nuts_sampler = run_nuts
+from .chees import run_chees  # noqa: F401
 from .solve import MagiError, MagiResult, map_warm_start, solve_magi  # noqa: F401
 from .target import MagiTarget  # noqa: F401
+from .tempering import geometric_ladder, run_parallel_tempering  # noqa: F401
 from .transforms import ThetaTransform, make_theta_transform  # noqa: F401
+from .whiten import (  # noqa: F401
+    PsiWhitener,
+    build_psi_whitener,
+    gauss_newton_map,
+    wrap_value_and_grad,
+)
