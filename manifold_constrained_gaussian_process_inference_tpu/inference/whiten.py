@@ -192,9 +192,10 @@ def gauss_newton_map(
     target,
     psi0: np.ndarray,
     prior_temperature,
-    n_newton: int = 60,
+    n_newton: int = 200,
     tol: float = 1e-4,
     freeze: slice | None = None,
+    min_improvement: float = 0.05,
 ):
     """MAP optimization by damped Gauss-Newton: step = P(psi)^{-1} grad with
     backtracking line search. The GN precision is exactly the curvature the
@@ -209,9 +210,11 @@ def gauss_newton_map(
     v, g = vg(jnp.asarray(psi))
     v = float(v)
     v_start = v
+    lam = 0.0  # Levenberg damping (relative to the precision's diag scale)
+    it = -1
     for it in range(n_newton):
         prec = build_precision(gp_cov, yobs, target, psi, prior_temperature)
-        chol = _robust_chol(prec)
+        diag_scale = float(np.median(np.diag(prec)))
         g_np = np.asarray(g, dtype=np.float64)
         if freeze is not None:
             # Keep frozen coordinates (e.g. log sigma) at their init: the
@@ -219,29 +222,62 @@ def gauss_newton_map(
             # flow (measured: comparable lp to the data mode).
             g_np = g_np.copy()
             g_np[freeze] = 0.0
-        step = _cho_solve(chol, g_np)
-        if freeze is not None:
-            step = step.copy()
-            step[freeze] = 0.0
+
+        # Levenberg-Marquardt: far from the mode the pure GN step can be so
+        # large that no backtracking fraction improves (measured at n=397);
+        # damping (P + lam*s*I) shortens and bends the step toward the
+        # gradient until it succeeds, then relaxes.
         improved = False
-        alpha = 1.0
-        for _ in range(12):
-            cand = psi + alpha * step
-            v_new, g_new = vg(jnp.asarray(cand))
-            v_new = float(v_new)
-            if np.isfinite(v_new) and v_new > v:
-                psi, v, g = cand, v_new, g_new
-                improved = True
+        for _lm in range(12):
+            damped = prec
+            if lam > 0:
+                damped = prec + lam * diag_scale * np.eye(prec.shape[0])
+            chol = _robust_chol(damped)
+            step = _cho_solve(chol, g_np)
+            if freeze is not None:
+                step = step.copy()
+                step[freeze] = 0.0
+            alpha = 1.0
+            for _ in range(20):
+                cand = psi + alpha * step
+                v_new, g_new = vg(jnp.asarray(cand))
+                v_new = float(v_new)
+                if np.isfinite(v_new) and v_new > v:
+                    gain = v_new - v
+                    psi, v, g = cand, v_new, g_new
+                    improved = True
+                    break
+                alpha *= 0.5
+            if improved:
+                if alpha == 1.0:
+                    lam = lam / 3.0 if lam > 1e-9 else 0.0
+                elif alpha < 0.25:
+                    lam = max(lam * 4.0, 1e-6)
                 break
-            alpha *= 0.5
+            lam = max(lam * 10.0, 1e-6)
         if not improved:
             break
-        if np.linalg.norm(alpha * step) < tol * (1.0 + np.linalg.norm(psi)):
+        # Converged: full undamped step accepted with negligible gain, or
+        # an undamped accepted step is tiny. (Damped iterations take small
+        # steps by construction — they must not trigger the stop.)
+        if lam == 0.0 and alpha == 1.0 and gain < min_improvement:
+            break
+        if lam == 0.0 and np.linalg.norm(alpha * step) < tol * (
+            1.0 + np.linalg.norm(psi)
+        ):
             break
     logger.info(
         "Gauss-Newton MAP: log-posterior %.4g -> %.4g (%d iterations)",
         v_start, v, it + 1,
     )
+    if it + 1 >= n_newton:
+        logger.warning(
+            "Gauss-Newton MAP hit the iteration cap before converging "
+            "(final lp %.4g); the whitener will be built off-mode. Strongly "
+            "tempered observations (beta_obs > 1) make this landscape very "
+            "nonlinear — consider default prior temperatures, fixed sigma, "
+            "or a larger n_newton.", v,
+        )
     return psi
 
 
