@@ -530,6 +530,7 @@ def solve_magi(
                 mesh=mesh,
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
+                checkpoint_path=config.checkpoint_path,
             )
         else:
             raise MagiError(f"unknown sampler '{config.sampler}'")

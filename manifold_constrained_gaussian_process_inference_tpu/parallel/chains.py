@@ -68,9 +68,15 @@ def run_chains(
     mesh: Optional[Mesh] = None,
     chunk_size: int = 1000,
     progress: bool = False,
+    checkpoint_path: Optional[str] = None,
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
-    (samples (C, S, dim) numpy, info dict with a leading chain axis)."""
+    (samples (C, S, dim) numpy, info dict with a leading chain axis).
+
+    ``checkpoint_path``: when set, a SamplerCheckpoint (positions, adapted
+    step sizes/metrics, PRNG keys) is written after every sampling chunk —
+    a preempted run resumes with inference.checkpoint.run_chains_resumed
+    without repeating warmup."""
     n_chains, dim = psi0.shape
     n_keep = n_samples - n_adapts
     dtype = psi0.dtype
@@ -155,6 +161,19 @@ def run_chains(
         div_chunks.append(np.asarray(stats.diverging))
         e_chunks.append(np.asarray(stats.energy))
         pos += length
+        if checkpoint_path:
+            from ..inference.checkpoint import SamplerCheckpoint, save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                SamplerCheckpoint(
+                    psi=np.asarray(scarry.chain.q),
+                    step_size=np.atleast_1d(np.asarray(eps_final)),
+                    inv_mass=np.atleast_2d(np.asarray(inv_mass_final)),
+                    key=np.asarray(scarry.chain.key),
+                    n_samples_drawn=n_chains * pos,
+                ),
+            )
         if progress:
             logger.info(
                 "sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0

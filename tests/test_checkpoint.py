@@ -83,6 +83,40 @@ def test_resume_deterministic(tmp_path):
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
 
 
+def test_auto_checkpoint_every_chunk(tmp_path):
+    """run_chains writes a resumable checkpoint after every sampling chunk."""
+    vg = _vg()
+    path = str(tmp_path / "auto.npz")
+    samples, info = run_chains(
+        vg, jnp.zeros((2, 3)), jax.random.split(jax.random.PRNGKey(2), 2),
+        n_samples=120, n_adapts=40, chunk_size=40, checkpoint_path=path,
+    )
+    ck = load_checkpoint(path)
+    assert ck.n_samples_drawn == 2 * 80
+    assert np.array_equal(ck.psi, np.asarray(info["final_psi"]))
+    # resume continues cleanly
+    s2, _, _ = run_chains_resumed(vg, ck, n_samples=30)
+    assert s2.shape == (2, 30, 3)
+
+
+def test_solve_magi_checkpoint_path(tmp_path):
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import MagiConfig
+    from manifold_constrained_gaussian_process_inference_tpu.models import FN_SYSTEM
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4, 9)
+    y = np.stack([np.sin(t), np.cos(t)], -1) + 0.2 * rng.normal(size=(9, 2))
+    path = str(tmp_path / "solve.npz")
+    cfg = MagiConfig(
+        niter_hmc=40, seed=1, checkpoint_path=path, chunk_size=10,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    m.solve_magi(y, t, FN_SYSTEM, cfg)
+    ck = load_checkpoint(path)
+    assert ck.psi.shape == (1, 9 * 2 + 3)
+
+
 def test_nan_guard_passthrough():
     from manifold_constrained_gaussian_process_inference_tpu.utils.debugging import (
         nan_guard,
