@@ -79,10 +79,15 @@ def main():
     config = MagiConfig(
         niter_hmc=args.niter,
         burnin_ratio=0.5,
-        step_size_factor=0.01,
+        step_size_factor=0.05,
         prior_temperature=(1.0, 1.0, 1.0),
         n_chains=args.chains,
         seed=args.seed,
+        # Parallel tempering over the Laplace-whitened target: theta ESS
+        # 80-1900 at 8k iterations (raw NUTS: ~2), swap acceptance ~0.5.
+        sampler="pt-nuts",
+        pt_temps=10,
+        x_whitened=True,
         # H has no observations: phi/sigma for it cannot come from NLML.
         # Supply phi for all dims + sigma -> fixed-sigma mode (the paper
         # treats the noise as known for Hes1). NOTE the GP prior is
