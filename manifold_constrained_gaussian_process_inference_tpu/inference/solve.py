@@ -409,15 +409,43 @@ def solve_magi(
         # The Newton line search needs float64 values (f32 representation
         # noise at |lp| ~ 1e5 stalls it early), so when sampling in f32 the
         # MAP runs on a float64 CPU replica of the target — setup-time only.
+        # Optimizer tempering: observation tempering (beta_obs > 1) makes
+        # the landscape so nonlinear that even damped Newton crawls
+        # (measured: lp -2e10 -> -3e3 in 200 iterations at n=397); staging
+        # the optimization — first at beta_obs = 1 (benign landscape), then
+        # at the target temperature from that mode — restores convergence.
         freeze = (
             None if sigma_is_fixed
             else slice(n_times * n_dims + k, target.dimension)
         )
+        stages = [prior_temps]
+        if prior_temps[2] > 1.001:
+            stages = [
+                np.array([prior_temps[0], prior_temps[1], 1.0]),
+                prior_temps,
+            ]
+
+        def _gn_stages(make_target_vg, gp_cov_for_map, psi):
+            for stage_temps in stages:
+                vg_stage, target_stage = make_target_vg(stage_temps)
+                psi = gauss_newton_map(
+                    vg_stage, gp_cov_for_map, y_obs, target_stage, psi,
+                    stage_temps, freeze=freeze,
+                )
+            return psi
+
         if dtype == jnp.float64:
-            psi0 = gauss_newton_map(
-                vg, gp_cov, y_obs, target, psi0, prior_temps, freeze=freeze
-            )
             gp_cov_map = gp_cov
+
+            def make_target_vg(stage_temps):
+                t_s = MagiTarget.build(
+                    y_obs, gp_cov_map, ode_system, sigma_init, stage_temps,
+                    sigma_is_fixed, dtype=jnp.float64, band_impl="dense",
+                    theta_transform=theta_transform, gp_mean=gp_mean,
+                )
+                return jax.jit(t_s.value_and_grad_fn()), t_s
+
+            psi0 = _gn_stages(make_target_vg, gp_cov_map, psi0)
         else:
             with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
                 gp_cov_map = build_gp_cov(
@@ -426,16 +454,17 @@ def solve_magi(
                     jitter=config.jitter, dtype=jnp.float64,
                     check_eigenvalues=False,
                 )
-                target64 = MagiTarget.build(
-                    y_obs, gp_cov_map, ode_system, sigma_init, prior_temps,
-                    sigma_is_fixed, dtype=jnp.float64, band_impl="dense",
-                    theta_transform=theta_transform, gp_mean=gp_mean,
-                )
-                vg64 = jax.jit(target64.value_and_grad_fn())
-                psi0 = gauss_newton_map(
-                    vg64, gp_cov_map, y_obs, target64, psi0, prior_temps,
-                    freeze=freeze,
-                )
+
+                def make_target_vg(stage_temps):
+                    t_s = MagiTarget.build(
+                        y_obs, gp_cov_map, ode_system, sigma_init,
+                        stage_temps, sigma_is_fixed, dtype=jnp.float64,
+                        band_impl="dense", theta_transform=theta_transform,
+                        gp_mean=gp_mean,
+                    )
+                    return jax.jit(t_s.value_and_grad_fn()), t_s
+
+                psi0 = _gn_stages(make_target_vg, gp_cov_map, psi0)
         whitener = build_psi_whitener(
             gp_cov_map, y_obs, target, psi0, prior_temps, dtype
         )
