@@ -63,35 +63,94 @@ def rbf_k(r, variance, lengthscale):
     return variance * xp.exp(-0.5 * (r / lengthscale) ** 2)
 
 
-def general_matern_k(r, variance, lengthscale, nu):
-    """General Matern kernel for half-integer nu (1/2, 3/2, 5/2, 7/2, ...).
+def _bessel_kv(nu: float, z):
+    """Modified Bessel K_nu(z) for a STATIC order nu and array argument z.
 
-    Parity: /root/reference/src/kernels.jl:109-118 (which supports arbitrary
-    nu through Bessel functions). Half-integer nu admits the closed form
-
-        k(r) = sigma^2 exp(-z) * (p! / (2p)!) * sum_{i=0}^{p} (p+i)!/(i!(p-i)!) (2z)^{p-i}
-
-    with z = sqrt(2 nu) r / l and p = nu - 1/2. The reference's own tests only
-    exercise nu in {1/2, 3/2, 5/2} (test/test_kernels.jl:88-211). Non-half-
-    integer nu raises NotImplementedError (no Bessel-K on the TPU path).
+    numpy inputs go straight to scipy (the host f64 setup path). Traced jax
+    inputs go through a pure_callback with a custom JVP using the recurrence
+    d/dz K_nu(z) = -(K_{nu-1}(z) + K_{nu+1}(z)) / 2, so the jit'd NLML
+    optimizer can differentiate through arbitrary-nu Matern kernels.
     """
-    two_nu = 2.0 * float(nu)
-    p_float = float(nu) - 0.5
+    import scipy.special as _sps
+
+    if isinstance(z, np.ndarray):
+        return _sps.kv(nu, z)
+    return _bessel_kv_jax(float(nu))(z)
+
+
+def _bessel_kv_jax(nu: float):
+    import jax
+    import scipy.special as _sps
+
+    cache = _bessel_kv_jax.__dict__.setdefault("_cache", {})
+    if nu in cache:
+        return cache[nu]
+
+    @jax.custom_jvp
+    def kv(z):
+        def host(x):
+            x = np.asarray(x)
+            return _sps.kv(nu, x.astype(np.float64)).astype(x.dtype)
+
+        return jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct(jnp.shape(z), jnp.result_type(z)),
+            z,
+            vmap_method="broadcast_all",
+        )
+
+    @kv.defjvp
+    def kv_jvp(primals, tangents):
+        (z,), (zdot,) = primals, tangents
+        dk = -0.5 * (_bessel_kv_jax(nu - 1.0)(z) + _bessel_kv_jax(nu + 1.0)(z))
+        return kv(z), dk * zdot
+
+    cache[nu] = kv
+    return kv
+
+
+def general_matern_k(r, variance, lengthscale, nu):
+    """General Matern kernel for arbitrary nu > 0.
+
+    Parity: /root/reference/src/kernels.jl:109-118 —
+
+        k(r) = sigma^2 (2^{1-nu}/Gamma(nu)) z^nu K_nu(z),  z = sqrt(2 nu) r / l.
+
+    Half-integer nu (1/2, 3/2, 5/2, ...) uses the exact closed form
+
+        k(r) = sigma^2 exp(-z) (p!/(2p)!) sum_{i=0}^p (p+i)!/(i!(p-i)!) (2z)^{p-i}
+
+    with p = nu - 1/2 (cheaper and exact); other nu use modified-Bessel-K
+    evaluation — scipy on the host setup path, a differentiable
+    pure_callback under jit (see ``_bessel_kv``). ``nu`` must be a static
+    Python number (it selects the formula at trace time).
+    """
+    nu = float(nu)
+    if nu <= 0:
+        raise ValueError(f"Matern smoothness nu must be positive; got {nu}.")
+    two_nu = 2.0 * nu
+    p_float = nu - 0.5
     p = int(round(p_float))
-    if abs(p_float - p) > 1e-12 or p < 0:
-        raise NotImplementedError(
-            f"general_matern_k only supports half-integer nu; got nu={nu}."
-        )
     xp = _xp(r, variance, lengthscale)
+    if abs(p_float - p) <= 1e-12 and p >= 0:
+        z = math.sqrt(two_nu) * r / lengthscale
+        prefac = math.factorial(p) / math.factorial(2 * p)
+        acc = 0.0
+        for i in range(p + 1):
+            coef = math.factorial(p + i) / (
+                math.factorial(i) * math.factorial(p - i)
+            )
+            acc = acc + coef * (2.0 * z) ** (p - i)
+        return variance * prefac * xp.exp(-z) * acc
+    # Arbitrary nu: Bessel-K form. K_nu diverges at z=0 while z^nu -> 0;
+    # the limit of the product is Gamma(nu) 2^{nu-1}, i.e. k(0) = variance.
+    # Double-where keeps both the value and the gradient finite at r=0
+    # (the true dk/dr at 0 is 0 for nu > 1/2).
     z = math.sqrt(two_nu) * r / lengthscale
-    prefac = math.factorial(p) / math.factorial(2 * p)
-    acc = 0.0
-    for i in range(p + 1):
-        coef = math.factorial(p + i) / (
-            math.factorial(i) * math.factorial(p - i)
-        )
-        acc = acc + coef * (2.0 * z) ** (p - i)
-    return variance * prefac * xp.exp(-z) * acc
+    z_safe = xp.where(z > 0, z, 1.0)
+    coef = 2.0 ** (1.0 - nu) / math.gamma(nu)
+    k_off = variance * coef * z_safe**nu * _bessel_kv(nu, z_safe)
+    return xp.where(z > 0, k_off, variance)
 
 
 # ---------------------------------------------------------------------------
@@ -105,14 +164,18 @@ def _tdiff(tvec):
 
 def parse_kernel_type(kernel_type: str):
     """Normalize a kernel spec. "matern52" | "rbf" | "matern-<nu>" (general
-    half-integer Matern, e.g. "matern-1.5"). Returns (name, nu_or_None)."""
+    Matern with arbitrary nu > 0, e.g. "matern-1.5", "matern-2.0").
+    Returns (name, nu_or_None)."""
     if kernel_type in _SUPPORTED_KERNELS:
         return kernel_type, None
     if kernel_type.startswith("matern-"):
-        return "matern", float(kernel_type.split("-", 1)[1])
+        nu = float(kernel_type.split("-", 1)[1])
+        if nu <= 0:
+            raise ValueError(f"Matern nu must be positive; got {nu}.")
+        return "matern", nu
     raise ValueError(
         f"Unsupported kernel type '{kernel_type}'. Supported: "
-        f"{_SUPPORTED_KERNELS} or 'matern-<nu>' with half-integer nu."
+        f"{_SUPPORTED_KERNELS} or 'matern-<nu>' with nu > 0."
     )
 
 
