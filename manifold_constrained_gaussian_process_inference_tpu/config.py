@@ -89,6 +89,13 @@ class MagiConfig:
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.
     band_impl: str = "auto"
+    # Widen the band automatically (doubling, capped at n-1) when the PSD
+    # repair of the band-truncated precision matrices needs a diagonal
+    # shift > 1% of matrix scale — i.e. when bandSize is too narrow for the
+    # fitted lengthscales and the truncated quadratic forms would deviate
+    # from the full-band posterior. False keeps the requested band exactly
+    # (closest to the reference's silent indefinite truncation).
+    band_auto_escalate: bool = True
     # Sampler iterations per device call (bounds single-execution length,
     # streams samples to host, enables progress logging).
     chunk_size: int = 1000

@@ -295,7 +295,7 @@ def solve_magi(
     gp_cov = build_gp_cov(
         config.kernel, phi_all, t_obs,
         bandsize=config.band_size, complexity=2, jitter=config.jitter,
-        dtype=dtype,
+        dtype=dtype, auto_escalate_bandsize=config.band_auto_escalate,
     )
 
     # --- target ---
@@ -453,6 +453,7 @@ def solve_magi(
                     bandsize=config.band_size, complexity=2,
                     jitter=config.jitter, dtype=jnp.float64,
                     check_eigenvalues=False,
+                    auto_escalate_bandsize=config.band_auto_escalate,
                 )
 
                 def make_target_vg(stage_temps):

@@ -211,10 +211,17 @@ def calculate_gp_covariances(
 
     cinv_band = mat2band(cinv, l, u)
     kinv_band = mat2band(kinv, l, u)
-    cinv_band_chol, _ = banded_cholesky(cinv_band, l)
-    kinv_band_chol, _ = banded_cholesky(kinv_band, l)
+    cinv_band_chol, shift_c = banded_cholesky(cinv_band, l)
+    kinv_band_chol, shift_k = banded_cholesky(kinv_band, l)
+    # Relative PSD-repair magnitude: how far the banded factorization had to
+    # move the truncated matrix. Large values mean the band is too narrow
+    # for these hyperparameters (see build_gp_cov auto-escalation).
+    scale_c = float(np.max(np.abs(np.diagonal(cinv_band)))) or 1.0
+    scale_k = float(np.max(np.abs(np.diagonal(kinv_band)))) or 1.0
+    band_repair_rel = max(shift_c / scale_c, shift_k / scale_k)
 
     return dict(
+        band_repair_rel=band_repair_rel,
         phi=phi,
         tvec=tvec,
         C=c_jittered - jitter * np.eye(n),  # store un-jittered C like the reference
@@ -244,12 +251,24 @@ def build_gp_cov(
     jitter: float = 1e-6,
     dtype: Optional[jnp.dtype] = None,
     check_eigenvalues: bool = True,
+    auto_escalate_bandsize: bool = True,
+    band_repair_tol: float = 1e-2,
 ) -> GPCov:
     """Build the batched GPCov for all dimensions.
 
     ``phi_all`` has shape (2, D) (reference layout, MagiJl.jl:165) —
     [variance; lengthscale] per dimension. Band size is clipped to n-1
     (parity: /root/reference/src/MagiJl.jl:459-461).
+
+    Band-size auto-escalation: truncating the precision matrices to a band
+    can lose positive-definiteness; the banded factorization repairs that
+    with a diagonal shift, which moves the quadratic forms away from the
+    reference's (indefinite) truncated semantics. When the relative repair
+    shift exceeds ``band_repair_tol`` (default 1%) on any dimension, the
+    band is widened (doubled, capped at n-1) and the build retried, with a
+    warning — posterior parity beats the reference's silent indefinite
+    sampling (likelihoods.jl:129-135). Disable with
+    ``auto_escalate_bandsize=False`` to keep the requested band exactly.
     """
     phi_all = np.asarray(phi_all, dtype=np.float64)
     tvec = np.asarray(tvec, dtype=np.float64)
@@ -261,14 +280,38 @@ def build_gp_cov(
 
         dtype = default_dtype()
 
-    per_dim = [
-        calculate_gp_covariances(
-            kernel_type, phi_all[:, d], tvec, bs,
-            complexity=complexity, jitter=jitter,
-            check_eigenvalues=check_eigenvalues,
+    while True:
+        per_dim = [
+            calculate_gp_covariances(
+                kernel_type, phi_all[:, d], tvec, bs,
+                complexity=complexity, jitter=jitter,
+                check_eigenvalues=check_eigenvalues,
+            )
+            for d in range(n_dims)
+        ]
+        max_rel = max(p["band_repair_rel"] for p in per_dim)
+        if (
+            not auto_escalate_bandsize
+            or max_rel <= band_repair_tol
+            or bs >= n - 1
+        ):
+            if max_rel > band_repair_tol:
+                logger.warning(
+                    "GPCov band repair shift %.2e exceeds tol %.1e at "
+                    "bandsize %d%s; quadratic forms deviate from the exact "
+                    "band-truncated semantics.", max_rel, band_repair_tol,
+                    bs, "" if auto_escalate_bandsize else " (escalation off)",
+                )
+            break
+        new_bs = min(max(2 * bs, bs + 10), n - 1)
+        logger.warning(
+            "GPCov: PSD repair shift %.2e at bandsize %d exceeds tol %.1e; "
+            "escalating bandsize to %d for posterior parity.",
+            max_rel, bs, band_repair_tol, new_bs,
         )
-        for d in range(n_dims)
-    ]
+        bs = new_bs
+    for p in per_dim:
+        p.pop("band_repair_rel")
 
     def stack(key):
         return jnp.asarray(np.stack([p[key] for p in per_dim]), dtype=dtype)
