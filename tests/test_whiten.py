@@ -106,3 +106,56 @@ def test_solver_whitened_matches_raw_posterior():
     sd = res_raw.x_sampled.std(0) + 0.05
     assert np.all(np.abs(xm_raw - xm_wh) < 5 * sd)
     assert np.all(np.isfinite(res_wh.theta))
+
+
+def test_gn_map_converges_at_reference_protocol(caplog):
+    """Regression for VERDICT r1 item 7: staged GN-MAP must reach the mode
+    (no iteration-cap warning) on the reference FN protocol — n=397
+    filllevel-2 grid, beta=[1,1,5], sigma sampled, NLML-scale phi. Round-1
+    measured a crawl (lp -2e10 -> -3e3 in 200 iters); with optimizer
+    tempering + band auto-escalation it converges in ~22+35 iterations."""
+    import logging
+
+    from manifold_constrained_gaussian_process_inference_tpu.utils.integrators import (
+        integrate_system,
+        sample_on_grid,
+    )
+
+    rng = np.random.default_rng(12345)
+    theta_true = np.array([0.2, 0.2, 3.0])
+    ts, xs = integrate_system(FN_SYSTEM, [-1.0, 1.0], 0.0, 20.0, theta_true, 8000)
+    t_obs = np.linspace(0.0, 20.0, 100)
+    y_at = sample_on_grid(ts, xs, t_obs) + 0.2 * rng.normal(size=(100, 2))
+    segs = [np.linspace(t_obs[i], t_obs[i + 1], 5)[:-1] for i in range(99)]
+    t = np.concatenate(segs + [t_obs[-1:]])
+    y = np.full((len(t), 2), np.nan)
+    y[::4] = y_at
+    n = len(t)
+    assert n == 397
+
+    # NLML-scale hyperparameters (the hard case: ell=3.3 escalates the band)
+    phi = np.array([[2.27, 1.04], [1.33, 3.29]])
+    cov = m.build_gp_cov("matern52", phi, t, bandsize=20, complexity=2)
+    assert cov.bandsize > 20  # escalation engaged on this workload
+
+    beta = np.array([1.0, 1.0, 5.0])
+    sigma0 = np.array([0.22, 0.19])
+    x0 = _init_x_interpolation(y, t)
+    psi = np.concatenate([x0.T.reshape(-1), [1.0, 1.0, 1.0],
+                          np.log(sigma0)])
+    k, d = 3, 2
+    freeze = slice(n * d + k, n * d + k + d)
+
+    stages = [np.array([1.0, 1.0, 1.0]), beta]
+    with caplog.at_level(logging.WARNING):
+        for st in stages:
+            tgt = MagiTarget.build(y, cov, FN_SYSTEM, sigma0, st, False,
+                                   dtype=jnp.float64, band_impl="dense")
+            vg = jax.jit(tgt.value_and_grad_fn())
+            psi = gauss_newton_map(vg, cov, y, tgt, psi, st, freeze=freeze)
+    assert not any("iteration cap" in r.message for r in caplog.records)
+
+    tgt = MagiTarget.build(y, cov, FN_SYSTEM, sigma0, beta, False,
+                           dtype=jnp.float64, band_impl="dense")
+    v, _ = jax.jit(tgt.value_and_grad_fn())(jnp.asarray(psi))
+    assert float(v) > -200.0  # mode region; the crawl regime sat at ~-3e3
