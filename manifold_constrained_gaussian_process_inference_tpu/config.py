@@ -104,8 +104,9 @@ class MagiConfig:
     chain_init_jitter: float = 0.0
     # When set, wraps sampling in jax.profiler.trace writing to this dir.
     profile_dir: Optional[str] = None
-    # When set (sampler='nuts'), a sampler checkpoint (.npz) is written
-    # after every chunk for preemption-safe resume (inference/checkpoint.py).
+    # When set (sampler='nuts' or 'pt-nuts'), a sampler checkpoint (.npz) is
+    # written after every sampling chunk for preemption-safe resume
+    # (inference/checkpoint.py; tempering.py pt_checkpoint for PT).
     checkpoint_path: Optional[str] = None
     # MAP warm start: Adam steps maximizing the fused log-posterior over
     # Psi before sampling (theta projected into bounds). 0 disables

@@ -535,6 +535,7 @@ def solve_magi(
                 max_depth=config.max_tree_depth,
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
+                checkpoint_path=config.checkpoint_path,
             )
             samples = s_pt[None]  # (1, S, dim)
             # normalize info to the (C, S) layout of run_chains

@@ -55,7 +55,8 @@ def geometric_ladder(n_temps: int, t_max: float = 32.0) -> np.ndarray:
 
 
 def auto_ladder(n_temps: int, dim: int) -> np.ndarray:
-    """Dimension-aware geometric ladder.
+    """Dimension-aware geometric ladder (the warmup STARTING point; the
+    ladder then adapts — see ``adapt_ladder``).
 
     Swap acceptance between adjacent temperatures behaves like
     exp(-(dT/T)^2 dim / 2) for a dim-dimensional target, so the spacing
@@ -67,6 +68,42 @@ def auto_ladder(n_temps: int, dim: int) -> np.ndarray:
     return spacing ** np.arange(n_temps)
 
 
+def adapt_ladder(
+    inv_temps: np.ndarray,
+    n_acc: np.ndarray,
+    n_try: np.ndarray,
+    min_tries: int = 10,
+) -> np.ndarray:
+    """Re-place the interior rungs so every adjacent pair carries an equal
+    share of the communication barrier (Syed et al. 2021, "Non-reversible
+    parallel tempering": the round-trip rate of the deterministic even-odd
+    scheme is maximized when the per-pair rejection is equidistributed).
+
+    The cumulative barrier Lambda is estimated from the measured per-pair
+    rejection rates r_k by trapezoid accumulation over the current ladder;
+    new rungs are placed (in log inverse temperature) at equal Lambda
+    levels. Endpoints stay fixed. Pairs with fewer than ``min_tries``
+    attempts leave the ladder unchanged.
+    """
+    k = len(inv_temps)
+    if k < 3:
+        return inv_temps
+    tries = np.asarray(n_try, dtype=np.float64)[: k - 1]
+    acc = np.asarray(n_acc, dtype=np.float64)[: k - 1]
+    if np.any(tries < min_tries):
+        return inv_temps
+    r = 1.0 - acc / tries
+    # Keep the cumulative barrier strictly increasing so interpolation is
+    # well-posed; the clip also caps the correction per update (stability).
+    r = np.clip(r, 0.02, 0.98)
+    lam = np.concatenate([[0.0], np.cumsum(r)])
+    logb = np.log(np.asarray(inv_temps, dtype=np.float64))  # decreasing
+    targets = np.linspace(0.0, lam[-1], k)
+    new_logb = np.interp(targets, lam, logb)
+    new_logb[0], new_logb[-1] = logb[0], logb[-1]
+    return np.exp(new_logb)
+
+
 class PTCarry(NamedTuple):
     qs: jnp.ndarray        # (K, dim)
     lp: jnp.ndarray        # (K,) UNTEMPERED log-posterior
@@ -75,15 +112,16 @@ class PTCarry(NamedTuple):
     da: object             # batched DualAveragingState (K,)
     welford: object        # batched WelfordState
     inv_mass: jnp.ndarray  # (K, dim)
-    n_swap_accept: jnp.ndarray
-    n_swap_try: jnp.ndarray
+    inv_temps: jnp.ndarray # (K,) dynamic: the ladder adapts during warmup
+    n_swap_accept: jnp.ndarray  # (K,) per-pair counts at the LEFT index
+    n_swap_try: jnp.ndarray     # (K,)
     iteration: jnp.ndarray
 
 
-def _make_pt_step(vg: Callable, inv_temps: jnp.ndarray, target_accept: float,
+def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
                   max_depth: int, adapt: bool):
-    """One PT iteration: K tempered NUTS transitions + one swap sweep."""
-    k_temps = inv_temps.shape[0]
+    """One PT iteration: K tempered NUTS transitions + one swap sweep
+    (deterministic even-odd — the non-reversible DEO scheme)."""
 
     def transition_one(q, lp_b, g_b, key, eps, im, inv_t):
         def vg_t(qq):
@@ -100,6 +138,7 @@ def _make_pt_step(vg: Callable, inv_temps: jnp.ndarray, target_accept: float,
 
     def pt_step(carry: PTCarry, xs):
         in_win, win_end = xs if adapt else (None, None)
+        inv_temps = carry.inv_temps
         key, k_step, k_swap = jax.random.split(carry.key, 3)
         step_keys = jax.random.split(k_step, k_temps)
         eps = jnp.exp(carry.da.log_eps if adapt else carry.da.log_eps_avg)
@@ -128,8 +167,9 @@ def _make_pt_step(vg: Callable, inv_temps: jnp.ndarray, target_accept: float,
         grads = jnp.where(do_swap[:, None], grads[partner], grads)
         lp = jnp.where(do_swap, lp_partner, lp)
 
-        n_try = carry.n_swap_try + jnp.sum(valid & is_left).astype(jnp.int32)
-        n_acc = carry.n_swap_accept + jnp.sum(do_swap & is_left).astype(jnp.int32)
+        # Per-pair bookkeeping at the pair's left index (last slot unused).
+        n_try = carry.n_swap_try + (valid & is_left).astype(jnp.int32)
+        n_acc = carry.n_swap_accept + (do_swap & is_left).astype(jnp.int32)
 
         # --- adaptation (warmup only) ---
         da, welford, inv_mass = carry.da, carry.welford, carry.inv_mass
@@ -157,13 +197,19 @@ def _make_pt_step(vg: Callable, inv_temps: jnp.ndarray, target_accept: float,
 
         new = PTCarry(
             qs=qs, lp=lp, grads=grads, key=key, da=da, welford=welford,
-            inv_mass=inv_mass, n_swap_accept=n_acc, n_swap_try=n_try,
+            inv_mass=inv_mass, inv_temps=inv_temps,
+            n_swap_accept=n_acc, n_swap_try=n_try,
             iteration=carry.iteration + 1,
         )
         out = (qs[0], lp[0], stats.diverging, stats.num_leapfrog)
         return new, out
 
     return pt_step
+
+
+def _reset_counters(carry: PTCarry) -> PTCarry:
+    z = jnp.zeros_like(carry.n_swap_try)
+    return carry._replace(n_swap_accept=z, n_swap_try=z)
 
 
 def run_parallel_tempering(
@@ -180,8 +226,18 @@ def run_parallel_tempering(
     max_depth: int = 10,
     chunk_size: int = 1000,
     progress: bool = False,
+    ladder_adapt: bool = True,
+    checkpoint_path=None,
 ):
-    """PT-NUTS. Returns (samples (S, dim) from the T=1 chain, info)."""
+    """PT-NUTS. Returns (samples (S, dim) from the T=1 chain, info).
+
+    The ladder SPACING adapts during the first ~3/4 of warmup
+    (``adapt_ladder``: equidistributed per-pair rejection, endpoints
+    fixed); ``ladder_adapt=False`` keeps the initial ladder. When
+    ``checkpoint_path`` is set, a resumable PT checkpoint (.npz) is written
+    after every sampling chunk (see ``pt_checkpoint``/
+    ``run_parallel_tempering_resumed``).
+    """
     dtype = psi0.dtype
     dim = psi0.shape[0]
     n_keep = n_samples - n_adapts
@@ -193,7 +249,6 @@ def run_parallel_tempering(
         )
     temperatures = np.asarray(temperatures, dtype=np.float64)
     k_temps = len(temperatures)
-    inv_temps = jnp.asarray(1.0 / temperatures, dtype)
 
     lp0, g0 = vg(psi0)
     carry = PTCarry(
@@ -208,14 +263,15 @@ def run_parallel_tempering(
             jnp.arange(k_temps)
         ),
         inv_mass=jnp.ones((k_temps, dim), dtype),
-        n_swap_accept=jnp.zeros((), jnp.int32),
-        n_swap_try=jnp.zeros((), jnp.int32),
+        inv_temps=jnp.asarray(1.0 / temperatures, dtype),
+        n_swap_accept=jnp.zeros((k_temps,), jnp.int32),
+        n_swap_try=jnp.zeros((k_temps,), jnp.int32),
         iteration=jnp.int32(0),
     )
 
     in_window, window_end = build_window_schedule(n_adapts)
-    warm_step = _make_pt_step(vg, inv_temps, target_accept, max_depth, True)
-    sample_step = _make_pt_step(vg, inv_temps, target_accept, max_depth, False)
+    warm_step = _make_pt_step(vg, k_temps, target_accept, max_depth, True)
+    sample_step = _make_pt_step(vg, k_temps, target_accept, max_depth, False)
 
     compiled = {}
 
@@ -230,8 +286,16 @@ def run_parallel_tempering(
     t0 = time.time()
     pos = 0
     warm_div = []
+    # Ladder adaptation happens at warmup sub-chunk boundaries and freezes
+    # for the last quarter of warmup (metric/step-size settle on the final
+    # ladder). Sub-chunks are sized so ~8 updates happen even when
+    # chunk_size exceeds the warmup length; each update needs >= ~10 tries
+    # per pair to act (adapt_ladder min_tries), i.e. >= ~20 iterations.
+    ladder_freeze_at = int(0.75 * n_adapts)
+    adapt_seg = max(50, n_adapts // 10) if ladder_adapt else n_adapts
     while pos < n_adapts:
-        length = min(chunk_size, n_adapts - pos)
+        limit = ladder_freeze_at if pos < ladder_freeze_at else n_adapts
+        length = min(chunk_size, adapt_seg, limit - pos)
         flags = (
             jnp.asarray(in_window[pos : pos + length]),
             jnp.asarray(window_end[pos : pos + length]),
@@ -239,8 +303,27 @@ def run_parallel_tempering(
         carry, (q0s, lp0s, div, _) = run_chunk(carry, warm_step, flags, length, "w")
         warm_div.append(np.asarray(div))
         pos += length
+        if ladder_adapt and pos <= ladder_freeze_at:
+            old = np.asarray(carry.inv_temps, dtype=np.float64)
+            new = adapt_ladder(
+                old, np.asarray(carry.n_swap_accept),
+                np.asarray(carry.n_swap_try),
+            )
+            if not np.allclose(new, old):
+                carry = _reset_counters(
+                    carry._replace(inv_temps=jnp.asarray(new, dtype))
+                )
+                if progress:
+                    logger.info(
+                        "PT ladder adapted: T = %s",
+                        np.round(1.0 / new, 3),
+                    )
         if progress:
             logger.info("PT warmup %d/%d (%.1fs)", pos, n_adapts, time.time() - t0)
+
+    # Report swap statistics for the sampling phase only.
+    carry = _reset_counters(carry)
+    temperatures = 1.0 / np.asarray(carry.inv_temps, dtype=np.float64)
 
     samples, lps, divs, leaps = [], [], [], []
     pos = 0
@@ -255,22 +338,150 @@ def run_parallel_tempering(
         divs.append(np.asarray(div))
         leaps.append(np.asarray(leap))
         pos += length
+        if checkpoint_path:
+            save_pt_checkpoint(
+                checkpoint_path, pt_checkpoint(carry, n_samples_drawn=pos)
+            )
         if progress:
             logger.info("PT sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0)
 
-    swap_rate = float(carry.n_swap_accept) / max(float(carry.n_swap_try), 1.0)
-    info = {
+    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
+    return (
+        np.concatenate(samples) if samples else np.zeros((0, dim)),
+        info,
+    )
+
+
+def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
+    acc = np.asarray(carry.n_swap_accept, dtype=np.float64)[: k_temps - 1]
+    tries = np.asarray(carry.n_swap_try, dtype=np.float64)[: k_temps - 1]
+    per_pair = acc / np.maximum(tries, 1.0)
+    swap_rate = float(acc.sum()) / max(float(tries.sum()), 1.0)
+    return {
         "lp": np.concatenate(lps) if lps else np.zeros(0),
         "diverging": np.concatenate(divs) if divs else np.zeros((0, k_temps)),
         "num_leapfrog": np.concatenate(leaps) if leaps else np.zeros((0, k_temps)),
         "swap_acceptance": swap_rate,
+        "swap_acceptance_per_pair": per_pair,
         "temperatures": temperatures,
         "step_size": np.asarray(jnp.exp(carry.da.log_eps_avg)),
         "inv_mass": np.asarray(carry.inv_mass),
         "final_psi": np.asarray(carry.qs),
         "final_key": np.asarray(carry.key),
     }
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (post-warmup; mirrors inference/checkpoint.py for NUTS)
+# ---------------------------------------------------------------------------
+
+def pt_checkpoint(carry: PTCarry, n_samples_drawn: int = 0) -> dict:
+    """Everything needed to continue PT sampling: full-ladder positions and
+    untempered lp, per-rung step sizes/metrics, the adapted ladder, swap
+    counters, sweep parity, and the PRNG key."""
+    return dict(
+        qs=np.asarray(carry.qs),
+        lp=np.asarray(carry.lp),
+        eps=np.asarray(jnp.exp(carry.da.log_eps_avg)),
+        inv_mass=np.asarray(carry.inv_mass),
+        inv_temps=np.asarray(carry.inv_temps),
+        n_swap_accept=np.asarray(carry.n_swap_accept),
+        n_swap_try=np.asarray(carry.n_swap_try),
+        iteration=np.asarray(carry.iteration),
+        key=np.asarray(carry.key),
+        n_samples_drawn=np.asarray(n_samples_drawn),
+    )
+
+
+def save_pt_checkpoint(path: str, ckpt: dict) -> None:
+    np.savez(path, **ckpt)
+
+
+def load_pt_checkpoint(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def run_parallel_tempering_resumed(
+    vg: Callable,
+    ckpt: dict,
+    n_samples: int,
+    target_accept: float = 0.8,
+    max_depth: int = 10,
+    chunk_size: int = 1000,
+    dtype=None,
+    checkpoint_path=None,
+    progress: bool = False,
+):
+    """Continue PT sampling from a checkpoint: frozen ladder, step sizes and
+    metrics (post-warmup semantics). Returns (samples (S, dim) from the
+    T=1 chain, info, new_checkpoint)."""
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    qs = jnp.asarray(ckpt["qs"], dtype)
+    k_temps, dim = qs.shape
+    eps = jnp.asarray(ckpt["eps"], dtype)
+    # Positions round-trip through the .npz at storage precision; recompute
+    # lp/grads instead of trusting saved lp against re-cast positions.
+    lp, grads = jax.vmap(vg)(qs)
+
+    carry = PTCarry(
+        qs=qs,
+        lp=lp,
+        grads=grads,
+        key=jnp.asarray(ckpt["key"].astype(np.uint32)),
+        da=jax.vmap(da_init)(eps),
+        welford=jax.vmap(lambda _: welford_init(dim, dtype))(
+            jnp.arange(k_temps)
+        ),
+        inv_mass=jnp.asarray(ckpt["inv_mass"], dtype),
+        inv_temps=jnp.asarray(ckpt["inv_temps"], dtype),
+        n_swap_accept=jnp.asarray(ckpt["n_swap_accept"], jnp.int32),
+        n_swap_try=jnp.asarray(ckpt["n_swap_try"], jnp.int32),
+        iteration=jnp.asarray(ckpt["iteration"], jnp.int32),
+    )
+    temperatures = 1.0 / np.asarray(ckpt["inv_temps"], dtype=np.float64)
+    sample_step = _make_pt_step(vg, k_temps, target_accept, max_depth, False)
+
+    compiled = {}
+
+    def run_chunk(carry, flags, length):
+        if length not in compiled:
+            compiled[length] = jax.jit(
+                partial(lambda c, f, s: lax.scan(s, c, f), s=sample_step)
+            )
+        return compiled[length](carry, flags)
+
+    t0 = time.time()
+    samples, lps, divs, leaps = [], [], [], []
+    pos = 0
+    drawn0 = int(ckpt.get("n_samples_drawn", 0))
+    while pos < n_samples:
+        length = min(chunk_size, n_samples - pos)
+        flags = (jnp.zeros(length, bool), jnp.zeros(length, bool))
+        carry, (q0s, lp0s, div, leap) = run_chunk(carry, flags, length)
+        samples.append(np.asarray(q0s))
+        lps.append(np.asarray(lp0s))
+        divs.append(np.asarray(div))
+        leaps.append(np.asarray(leap))
+        pos += length
+        if checkpoint_path:
+            save_pt_checkpoint(
+                checkpoint_path,
+                pt_checkpoint(carry, n_samples_drawn=drawn0 + pos),
+            )
+        if progress:
+            logger.info(
+                "PT resumed sampling %d/%d (%.1fs)",
+                pos, n_samples, time.time() - t0,
+            )
+
+    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
+    new_ckpt = pt_checkpoint(carry, n_samples_drawn=drawn0 + n_samples)
     return (
         np.concatenate(samples) if samples else np.zeros((0, dim)),
         info,
+        new_ckpt,
     )

@@ -80,3 +80,93 @@ def test_pt_single_temperature_degenerates_to_nuts_like():
     assert np.all(np.isfinite(s))
     assert info["swap_acceptance"] == 0.0 or info["swap_acceptance"] >= 0.0
     assert abs(s.var(0).mean() - 1.0) < 0.4
+
+
+def test_adapt_ladder_equidistributes_rejection():
+    from manifold_constrained_gaussian_process_inference_tpu.inference.tempering import (
+        adapt_ladder,
+    )
+
+    inv_temps = 1.0 / geometric_ladder(5, 16.0)
+    # Pair 0 rejects almost always, pairs 1-3 almost never: the adapted
+    # ladder must pack rungs near the cold end (pair-0 gap shrinks).
+    n_try = np.array([100, 100, 100, 100, 0])
+    n_acc = np.array([5, 95, 95, 95, 0])
+    new = adapt_ladder(inv_temps, n_acc, n_try)
+    assert new[0] == 1.0 and np.isclose(new[-1], inv_temps[-1])
+    assert np.all(np.diff(new) < 0)  # still decreasing
+    gap_old = np.log(inv_temps[0]) - np.log(inv_temps[1])
+    gap_new = np.log(new[0]) - np.log(new[1])
+    assert gap_new < 0.5 * gap_old
+
+    # Uniform observed rejection: ladder unchanged (already optimal).
+    n_acc_u = np.array([50, 50, 50, 50, 0])
+    new_u = adapt_ladder(inv_temps, n_acc_u, n_try)
+    assert np.allclose(new_u, inv_temps, rtol=1e-10)
+
+    # Insufficient statistics: unchanged.
+    new_s = adapt_ladder(inv_temps, n_acc, np.array([5, 100, 100, 100, 0]))
+    assert np.allclose(new_s, inv_temps)
+
+
+def test_pt_ladder_adaptation_improves_min_pair_acceptance():
+    """On a target with strongly nonuniform barriers (variance scaling),
+    warmup ladder adaptation must lift the worst adjacent-pair swap
+    acceptance during sampling vs the frozen geometric ladder."""
+    # A 20-dim Gaussian: tempering scales the variance, so adjacent-rung
+    # overlap is analytic and the geometric ladder is already near-optimal;
+    # instead temper a funnel-like target where lp variance is huge.
+    def logp(q):
+        # student-t-ish heavy tail in 10 dims -> lp variance large across T
+        return -2.0 * jnp.sum(jnp.log1p(0.5 * q * q))
+
+    vg = jax.value_and_grad(logp)
+    q0 = jnp.zeros(10)
+    common = dict(
+        n_samples=2400, n_adapts=1600, n_temps=6, max_temp=64.0,
+        chunk_size=400,
+    )
+    _, info_ad = run_parallel_tempering(
+        vg, q0, jax.random.PRNGKey(3), ladder_adapt=True, **common
+    )
+    _, info_fr = run_parallel_tempering(
+        vg, q0, jax.random.PRNGKey(3), ladder_adapt=False, **common
+    )
+    min_ad = info_ad["swap_acceptance_per_pair"].min()
+    min_fr = info_fr["swap_acceptance_per_pair"].min()
+    assert min_ad >= min_fr - 0.02  # never worse (tol for MC noise)
+    # temperatures moved away from the geometric start
+    assert not np.allclose(
+        info_ad["temperatures"], info_fr["temperatures"], rtol=1e-6
+    )
+    assert np.all(np.isfinite(info_ad["temperatures"]))
+
+
+def test_pt_checkpoint_resume(tmp_path):
+    from manifold_constrained_gaussian_process_inference_tpu.inference.tempering import (
+        load_pt_checkpoint,
+        run_parallel_tempering_resumed,
+    )
+
+    vg = _bimodal_vg(sep=6.0)
+    path = str(tmp_path / "pt_ckpt.npz")
+    s1, info1 = run_parallel_tempering(
+        vg, jnp.array([3.0, 0.0]), jax.random.PRNGKey(5),
+        n_samples=900, n_adapts=500, n_temps=4, max_temp=16.0,
+        chunk_size=200, checkpoint_path=path,
+    )
+    ckpt = load_pt_checkpoint(path)
+    assert int(ckpt["n_samples_drawn"]) == 400
+    assert ckpt["qs"].shape == (4, 2)
+
+    s2, info2, new_ckpt = run_parallel_tempering_resumed(
+        vg, ckpt, n_samples=300, chunk_size=150,
+        checkpoint_path=path,
+    )
+    assert s2.shape == (300, 2)
+    assert np.all(np.isfinite(s2))
+    assert int(new_ckpt["n_samples_drawn"]) == 700
+    # resumed run keeps the adapted ladder and continues both modes' flow
+    assert np.allclose(info2["temperatures"], info1["temperatures"])
+    # checkpoint on disk was updated by the resumed run
+    assert int(load_pt_checkpoint(path)["n_samples_drawn"]) == 700
