@@ -1,19 +1,30 @@
-"""Benchmark: fused MAGI log-posterior value-and-grad throughput on the
-FitzHugh-Nagumo NUTS workload (the metric of record, BASELINE.json).
+"""Benchmark: end-to-end ESS/sec on the reference's own FitzHugh-Nagumo
+protocol (the metric of record, BASELINE.json).
 
-Workload parity with the reference example (run_scripts/fn_example.jl:22-42):
+Workload parity with the reference example (run_scripts/fn_example.jl:22-43):
 100 observations on [0, 20], filllevel-2 discretization -> n = 397 grid
-points, D = 2, Matern-5/2, bandSize 20, sigma sampled (Psi dim = 799).
+points, D = 2, Matern-5/2, sigma sampled, priorTemperature = [1, 1, 5]
+(Psi dim = 799).
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-measured on the spot: the same workload evaluated by a reference-faithful
-CPU implementation — float64, vectorized NumPy/BLAS with the hand-derived
-gradient exactly as /root/reference/src/likelihoods.jl computes it (per-dim
-banded matvecs + Jacobian accumulation). vs_baseline = device rate / CPU
-rate.
+Headline: min-theta ESS/sec of the PRODUCTION stack (NLML init -> staged
+Gauss-Newton MAP -> Laplace whitening -> adaptive-ladder PT-NUTS), i.e.
+what `solve_magi(..., sampler='pt-nuts', x_whitened=True)` delivers,
+measured over TOTAL wall time (setup + compile + warmup + sampling).
+
+The reference publishes no numbers (BASELINE.md) and no Julia runtime
+exists on this machine, so ``vs_baseline`` is established quantitatively
+on the spot from two measurements (reasoning in docs/BENCHMARKS.md):
+  ref ESS/sec <= (reference-faithful CPU grad rate)
+                x (raw-geometry ESS per gradient evaluation)
+The CPU grad rate is a float64 NumPy/BLAS implementation of exactly the
+reference's likelihood+gradient (/root/reference/src/likelihoods.jl: same
+banded matrices, same hand-derived gradient); ESS-per-gradient is measured
+by running OUR raw-space NUTS on the same posterior geometry the reference
+samples (its AdvancedHMC faces the identical tree-depth saturation).
+vs_baseline = production ESS/sec / that bound.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "ESS/s", "vs_baseline": N, ...}
 """
 from __future__ import annotations
 
@@ -31,6 +42,9 @@ def log(*a):
 # ---------------------------------------------------------------------------
 # Workload construction
 # ---------------------------------------------------------------------------
+
+BETA = (1.0, 1.0, 5.0)  # reference protocol (run_scripts/fn_example.jl:42)
+
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     import jax.numpy as jnp
@@ -67,7 +81,7 @@ def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
                        jitter=1e-6)
     target = MagiTarget.build(
         y_grid, cov, FN_SYSTEM, sigma_init=np.array([0.2, 0.2]),
-        prior_temperature=np.array([1.0, 1.0, 3.0]), sigma_is_fixed=False,
+        prior_temperature=np.array(BETA), sigma_is_fixed=False,
     )
     x0 = np.stack(
         [np.interp(t_grid, t_obs, y_at_obs[:, d]) for d in range(2)], axis=-1
@@ -75,6 +89,7 @@ def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     psi0 = np.concatenate([x0.T.reshape(-1), theta_true, np.log([0.2, 0.2])])
     host = dict(
         y=y_grid, t=t_grid, cov=cov, phi=phi, x0=x0, theta=theta_true,
+        t_obs=t_obs, y_at_obs=y_at_obs,
     )
     return target, psi0, host
 
@@ -108,34 +123,59 @@ def bench_device_grad(target, psi0, n_evals=3000):
     return n_evals / dt
 
 
-def bench_pt_recovery(target, psi0, host, n_iters=1500):
-    """Parallel-tempering recovery: theta/sigma RMSE vs the known truth of
-    the synthetic workload — the verifiable end-to-end quality metric."""
-    import jax
-    import jax.numpy as jnp
-
-    from manifold_constrained_gaussian_process_inference_tpu.inference.tempering import (
-        run_parallel_tempering,
+def bench_production(host, n_iters=3000, seed=42):
+    """The production stack on the reference protocol, through the public
+    API: solve_magi with NLML init -> staged Gauss-Newton MAP -> Laplace
+    whitening -> adaptive-ladder PT-NUTS. Reports min-theta ESS/sec over
+    TOTAL wall time (setup + compiles + warmup + sampling) and recovery."""
+    from manifold_constrained_gaussian_process_inference_tpu import solve_magi
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.postprocess.diagnostics import (
+        ess,
     )
 
-    dtype = target.data.mask.dtype
-    vg = target.value_and_grad_fn()
-    n, d, k = target.n_times, target.n_dims, target.n_params_ode
+    config = MagiConfig(
+        niter_hmc=n_iters,
+        burnin_ratio=0.5,
+        step_size_factor=0.06,
+        prior_temperature=BETA,
+        sampler="pt-nuts",
+        x_whitened=True,
+        seed=seed,
+    )
     t0 = time.perf_counter()
-    s, info = run_parallel_tempering(
-        vg, jnp.asarray(psi0, dtype), jax.random.PRNGKey(0),
-        n_samples=n_iters, n_adapts=n_iters // 2, n_temps=12,
-        initial_step_size=0.01, chunk_size=1000,
-    )
+    res = solve_magi(host["y"], host["t"], FN_SYSTEM, config)
     dt = time.perf_counter() - t0
-    theta = s[:, n * d : n * d + k].mean(axis=0)
-    sigma = np.exp(s[:, n * d + k :]).mean(axis=0)
+
+    theta = res.theta  # (S, k)
+    ess_vals = np.array([ess(theta[None, :, j]) for j in range(theta.shape[1])])
+    theta_mean = theta.mean(axis=0)
+    sigma_mean = res.sigma.mean(axis=0)
     theta_true = host["theta"]
+    d = res.diagnostics
     return dict(
-        theta_rmse=float(np.sqrt(np.mean((theta - theta_true) ** 2))),
-        sigma_rmse=float(np.sqrt(np.mean((sigma - 0.2) ** 2))),
-        theta_mean=[round(float(x), 4) for x in theta],
-        time_s=dt,
+        ess_min=float(np.nanmin(ess_vals)),
+        ess_per_sec=float(np.nanmin(ess_vals) / dt),
+        ess_per_sec_sampling=float(
+            np.nanmin(ess_vals) / d["sampling_time_s"]
+        ),
+        total_time_s=dt,
+        sampling_time_s=float(d["sampling_time_s"]),
+        theta_rmse=float(np.sqrt(np.mean((theta_mean - theta_true) ** 2))),
+        sigma_rmse=float(np.sqrt(np.mean((sigma_mean - 0.2) ** 2))),
+        theta_mean=[round(float(x), 4) for x in theta_mean],
+        sigma_mean=[round(float(x), 4) for x in sigma_mean],
+        swap_acceptance=float(d.get("swap_acceptance", np.nan)),
+        swap_acceptance_per_pair=[
+            round(float(x), 3)
+            for x in np.atleast_1d(d.get("swap_acceptance_per_pair", [np.nan]))
+        ],
+        grad_evals=float(d["gradient_evals"]),
     )
 
 
@@ -198,7 +238,7 @@ def make_numpy_reference(host):
     yf = np.where(mask, y, 0.0)
     nobs = mask.sum(axis=0)
     tvec = host["t"]
-    beta = np.array([1.0, 1.0, 3.0])
+    beta = np.array(BETA)
     n, d = y.shape
 
     def fn_f(x, theta):
@@ -304,42 +344,73 @@ def main():
     log(f"device grad rate: {dev_rate:,.0f} evals/s; cpu reference rate: {cpu_rate:,.0f} evals/s")
 
     result = {
-        "metric": "fused log-posterior value+grad evals/sec (FN NUTS workload, n=397, D=2)",
-        "value": round(dev_rate, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(dev_rate / cpu_rate, 2),
+        "metric": (
+            "production min-theta ESS/sec, FN reference protocol "
+            "(n=397, D=2, sigma sampled, beta=[1,1,5])"
+        ),
+        "unit": "ESS/s",
+        "device_grad_evals_per_sec": round(dev_rate, 1),
+        "grad_rate_vs_cpu_reference": round(dev_rate / cpu_rate, 2),
         "baseline_cpu_evals_per_sec": round(cpu_rate, 1),
         "value_check_rel_err": rel,
         "grad_check_max_rel_err": gerr,
     }
 
-    # The multi-chain NUTS stage is informative but must not take the whole
+    # Raw-geometry NUTS: measures ESS per gradient on the same posterior
+    # the reference samples (tree-depth-saturating raw space) — one of the
+    # two factors of the reference ESS/sec bound. Must not take the whole
     # bench down (long single XLA executions have crashed the remote TPU
     # worker before) — degrade gracefully.
+    ref_ess_per_sec = None
     try:
         nuts = bench_nuts_ess(target, psi0)
-        log(f"nuts: {nuts}")
+        log(f"raw-geometry nuts: {nuts}")
+        ess_per_grad = nuts["ess_min"] / max(nuts["grad_evals"], 1.0)
+        ref_ess_per_sec = cpu_rate * ess_per_grad
         result.update(
-            ess_per_sec_min_theta=round(nuts["ess_per_sec"], 2),
-            nuts_grad_evals_per_sec=round(nuts["grad_evals_per_sec"], 1),
-            nuts_divergences=nuts["divergences"],
+            raw_nuts_ess_per_sec=round(nuts["ess_per_sec"], 3),
+            raw_nuts_grad_evals_per_sec=round(nuts["grad_evals_per_sec"], 1),
+            raw_nuts_divergences=nuts["divergences"],
+            raw_ess_per_grad=ess_per_grad,
+            est_reference_ess_per_sec=round(ref_ess_per_sec, 5),
         )
     except Exception as e:  # pragma: no cover
         log(f"NUTS stage failed: {type(e).__name__}: {e}")
         result["nuts_stage_error"] = f"{type(e).__name__}"
 
     try:
-        pt = bench_pt_recovery(target, psi0, host)
-        log(f"pt recovery: {pt}")
+        prod = bench_production(host)
+        log(f"production stack: {prod}")
         result.update(
-            pt_theta_rmse=round(pt["theta_rmse"], 4),
-            pt_sigma_rmse=round(pt["sigma_rmse"], 4),
-            pt_theta_mean=pt["theta_mean"],
-            pt_time_s=round(pt["time_s"], 1),
+            value=round(prod["ess_per_sec"], 3),
+            ess_per_sec_sampling_only=round(prod["ess_per_sec_sampling"], 3),
+            production_ess_min=round(prod["ess_min"], 1),
+            production_total_time_s=round(prod["total_time_s"], 1),
+            production_theta_rmse=round(prod["theta_rmse"], 4),
+            production_sigma_rmse=round(prod["sigma_rmse"], 4),
+            production_theta_mean=prod["theta_mean"],
+            production_sigma_mean=prod["sigma_mean"],
+            swap_acceptance=round(prod["swap_acceptance"], 3),
+            swap_acceptance_per_pair=prod["swap_acceptance_per_pair"],
         )
+        if ref_ess_per_sec:
+            result["vs_baseline"] = round(
+                prod["ess_per_sec"] / ref_ess_per_sec, 1
+            )
     except Exception as e:  # pragma: no cover
-        log(f"PT stage failed: {type(e).__name__}: {e}")
-        result["pt_stage_error"] = f"{type(e).__name__}"
+        log(f"production stage failed: {type(e).__name__}: {e}")
+        result["production_stage_error"] = f"{type(e).__name__}"
+        # Degraded headline: fall back to the grad-rate metric so the
+        # driver still records a number.
+        result.update(
+            metric=(
+                "fused log-posterior value+grad evals/sec "
+                "(FN NUTS workload, n=397, D=2)"
+            ),
+            unit="evals/s",
+            value=round(dev_rate, 1),
+            vs_baseline=round(dev_rate / cpu_rate, 2),
+        )
 
     print(json.dumps(result))
 

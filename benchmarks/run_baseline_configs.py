@@ -1,0 +1,191 @@
+"""Benchmark all five BASELINE.json configs, multiple seeds each.
+
+Usage (TPU, default env; results stream to benchmarks/results_r2.jsonl):
+    python -u benchmarks/run_baseline_configs.py [--configs 1,2,3,4,5]
+        [--seeds 42,7,123] [--out benchmarks/results_r2.jsonl]
+
+Configs (BASELINE.json "configs"):
+  1 fn_known_sigma    FN n=397, sigma fixed at truth, default temperatures
+  2 fn_inferred_sigma FN n=397, sigma sampled, beta=[1,1,5] (the reference
+                      protocol, run_scripts/fn_example.jl:34-43) — the
+                      production stack (GN-MAP -> whitening -> PT)
+  3 hes1log_partial   log-Hes1, P/M observed in alternation, H never
+                      (examples/hes1_example.py recipe), 8k iterations
+  4 fn_dense_grid     FN filllevel-3 grid (n=793; band-storage/Pallas path)
+  5 fn_multichain     16 vmapped whitened NUTS chains with split-R-hat/ESS
+
+Each run emits one JSON line: recovery (theta RMSE vs truth), min-theta
+ESS, max split-R-hat, wall time, ESS/sec, plus per-config extras.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+import manifold_constrained_gaussian_process_inference_tpu as magi
+from manifold_constrained_gaussian_process_inference_tpu.config import MagiConfig
+from manifold_constrained_gaussian_process_inference_tpu.models import (
+    FN_SYSTEM,
+    HES1LOG_FIXF_SYSTEM,
+)
+from manifold_constrained_gaussian_process_inference_tpu.postprocess.diagnostics import (
+    ess,
+    split_rhat,
+)
+
+FN_THETA_TRUE = np.array([0.2, 0.2, 3.0])
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fn_data(seed, fill=2):
+    from fn_example import generate_data
+
+    return generate_data(100, 0.0, 20.0, [0.2, 0.2], seed, fill)
+
+
+def theta_metrics(res, theta_true):
+    tpc = res.diagnostics["theta_per_chain"]  # (C, S, k)
+    k = tpc.shape[-1]
+    ess_vals = np.array([ess(tpc[:, :, j]) for j in range(k)])
+    rhat_vals = np.array([split_rhat(tpc[:, :, j]) for j in range(k)])
+    theta_mean = res.theta.mean(axis=0)
+    return dict(
+        theta_mean=[round(float(x), 4) for x in theta_mean],
+        theta_rmse=round(
+            float(np.sqrt(np.mean((theta_mean - theta_true) ** 2))), 4
+        ),
+        ess_min=round(float(np.nanmin(ess_vals)), 1),
+        rhat_max=round(float(np.nanmax(rhat_vals)), 4),
+    )
+
+
+def run_config(idx: int, seed: int) -> dict:
+    t0 = time.perf_counter()
+    if idx == 1:
+        data = fn_data(seed)
+        from manifold_constrained_gaussian_process_inference_tpu.inference.nlml import (
+            optimize_gp_hyperparameters,
+        )
+
+        hp = optimize_gp_hyperparameters(
+            data["y_obs"], data["t_obs"], "matern52"
+        )
+        cfg = MagiConfig(
+            niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            prior_temperature=(1.0, 1.0, 1.0),
+            phi=hp[:, :2].T, sigma=np.array([0.2, 0.2]),  # fixed-sigma mode
+            sampler="pt-nuts", x_whitened=True,
+        )
+        res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
+        out = theta_metrics(res, FN_THETA_TRUE)
+    elif idx == 2:
+        data = fn_data(seed)
+        cfg = MagiConfig(
+            niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            prior_temperature=(1.0, 1.0, 5.0),
+            sampler="pt-nuts", x_whitened=True,
+        )
+        res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
+        out = theta_metrics(res, FN_THETA_TRUE)
+        sig = res.sigma.mean(axis=0)
+        out["sigma_mean"] = [round(float(x), 4) for x in sig]
+        out["sigma_rmse"] = round(float(np.sqrt(np.mean((sig - 0.2) ** 2))), 4)
+    elif idx == 3:
+        from hes1_example import NOISE_SD, THETA_TRUE_FIXF, generate_data
+
+        t_grid, y, x_truth = generate_data(seed=seed)
+        cfg = MagiConfig(
+            niter_hmc=8000, step_size_factor=0.05, seed=seed,
+            sampler="pt-nuts", pt_temps=10, x_whitened=True,
+            phi=np.array([[2.0, 1.5, 12.0], [55.0, 55.0, 55.0]]),
+            sigma=np.array([NOISE_SD] * 3),
+            map_init_iterations=3000, map_init_lr=0.02,
+            theta_constrained=True,
+        )
+        res = magi.solve_magi(y, t_grid, HES1LOG_FIXF_SYSTEM, cfg)
+        out = theta_metrics(res, THETA_TRUE_FIXF)
+        h_mean = res.x_sampled[:, :, 2].mean(axis=0)
+        out["h_rmse"] = round(
+            float(np.sqrt(np.mean((h_mean - x_truth[:, 2]) ** 2))), 4
+        )
+    elif idx == 4:
+        data = fn_data(seed, fill=3)  # n = 793
+        cfg = MagiConfig(
+            niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            prior_temperature=(1.0, 1.0, 5.0),
+            sampler="pt-nuts", x_whitened=True,
+        )
+        res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
+        out = theta_metrics(res, FN_THETA_TRUE)
+        out["n_grid"] = len(data["t_grid"])
+        sig = res.sigma.mean(axis=0)
+        out["sigma_mean"] = [round(float(x), 4) for x in sig]
+    elif idx == 5:
+        data = fn_data(seed)
+        cfg = MagiConfig(
+            niter_hmc=2000, step_size_factor=0.06, seed=seed,
+            prior_temperature=(1.0, 1.0, 5.0),
+            sampler="nuts", n_chains=16, x_whitened=True,
+            chain_init_jitter=0.5,
+        )
+        res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
+        out = theta_metrics(res, FN_THETA_TRUE)
+        out["n_chains"] = 16
+        sig = res.sigma.mean(axis=0)
+        out["sigma_mean"] = [round(float(x), 4) for x in sig]
+    else:
+        raise ValueError(idx)
+
+    dt = time.perf_counter() - t0
+    out["time_s"] = round(dt, 1)
+    out["ess_per_sec"] = round(out["ess_min"] / dt, 3)
+    d = res.diagnostics
+    out["grad_evals"] = float(d["gradient_evals"])
+    if "swap_acceptance" in d:
+        out["swap_acceptance"] = round(float(d["swap_acceptance"]), 3)
+        out["swap_acceptance_per_pair"] = [
+            round(float(x), 3)
+            for x in np.atleast_1d(d.get("swap_acceptance_per_pair", []))
+        ]
+    out["config"] = idx
+    out["seed"] = seed
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--seeds", default="42,7,123")
+    ap.add_argument("--out", default="benchmarks/results_r2.jsonl")
+    args = ap.parse_args()
+
+    configs = [int(c) for c in args.configs.split(",")]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    for idx in configs:
+        for seed in seeds:
+            log(f"=== config {idx}, seed {seed} ===")
+            try:
+                out = run_config(idx, seed)
+            except Exception as e:  # keep the sweep alive
+                out = {
+                    "config": idx, "seed": seed,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            log(json.dumps(out))
+            with open(args.out, "a") as f:
+                f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

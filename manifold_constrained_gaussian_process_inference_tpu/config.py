@@ -81,10 +81,18 @@ class MagiConfig:
     # swaps — crosses posterior modes single chains cannot; returns the
     # T=1 chain's draws).
     sampler: str = "nuts"
+    # Trajectory-length criterion for sampler='chees': "snaper" (principal-
+    # component projection — robust on multiscale targets) or "chees"
+    # (squared-norm change — the original criterion; collapses on the MAGI
+    # posterior, kept for parity with Hoffman et al. 2021).
+    chees_criterion: str = "snaper"
     pt_temps: int = 8
     # None -> dimension-aware ladder spacing (1 + sqrt(2/dim))^k, which
     # keeps adjacent-rung swap acceptance usable in high dimension.
     pt_max_temp: Optional[float] = None
+    # Adapt the ladder spacing during warmup toward equidistributed
+    # per-pair swap rejection (Syed et al. 2021). False = static ladder.
+    pt_ladder_adapt: bool = True
     dtype: Optional[jnp.dtype] = None
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

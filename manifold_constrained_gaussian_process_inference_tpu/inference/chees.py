@@ -78,6 +78,7 @@ class CheesAdaptState(NamedTuple):
     welford_mean: jnp.ndarray     # (dim,)
     welford_m2: jnp.ndarray       # (dim,)
     inv_mass: jnp.ndarray         # (dim,)
+    pc: jnp.ndarray               # (dim,) running principal component (SNAPER)
 
 
 def chees_init(
@@ -106,6 +107,7 @@ def chees_init(
         welford_mean=jnp.zeros((dim,), dtype),
         welford_m2=jnp.zeros((dim,), dtype),
         inv_mass=jnp.ones((dim,), dtype),
+        pc=jnp.full((dim,), 1.0 / np.sqrt(dim), dtype),
     )
     return state, adapt
 
@@ -134,11 +136,16 @@ def chees_transition(
     inv_mass: jnp.ndarray,
     traj_length: jnp.ndarray,
     max_leapfrog: int = MAX_LEAPFROG,
+    pc: jnp.ndarray | None = None,
 ):
     """One jittered-HMC iteration for all chains (shared leapfrog count).
 
     Returns (new_state, info) where info carries per-chain acceptance and
-    the cross-chain ChEES gradient estimate for trajectory adaptation.
+    the cross-chain trajectory-criterion gradient estimate. With ``pc``
+    (a unit vector), the SNAPER criterion is used — squared change of the
+    PROJECTION onto the principal component (Sountsov & Hoffman 2021)
+    instead of ChEES's squared-norm change, which collapses on multiscale
+    targets where the bulk directions' noise swamps the slow direction.
     """
     dtype = state.qs.dtype
     c, dim = state.qs.shape
@@ -179,11 +186,20 @@ def chees_transition(
     qc = state.qs - q_mean[None, :]
     qnc = qs_new - qn_mean[None, :]
     vs_new = ps_new * inv_mass[None, :]
-    dsq = jnp.sum(qnc * qnc, axis=1) - jnp.sum(qc * qc, axis=1)
-    proj = jnp.sum(qnc * vs_new, axis=1)
+    if pc is None:
+        # ChEES: squared change of ||q - E q||^2.
+        dsq = jnp.sum(qnc * qnc, axis=1) - jnp.sum(qc * qc, axis=1)
+        proj = jnp.sum(qnc * vs_new, axis=1)
+    else:
+        # SNAPER: squared change of the principal-component projection
+        # s = (u . (q - E q))^2; d s'/dT = 2 (u.q'_c)(u.v').
+        a0 = qc @ pc
+        a1 = qnc @ pc
+        dsq = a1 * a1 - a0 * a0
+        proj = a1 * (vs_new @ pc)
     w = accept_prob * dsq * proj
     denom = jnp.sum(accept_prob) + 1e-6
-    chees_grad = jnp.sum(w) / denom  # d ChEES / d (trajectory length), up to scale
+    chees_grad = jnp.sum(w) / denom  # d criterion / d (trajectory length), up to scale
     # account for the jitter: d t / d T = u
     chees_grad = chees_grad * u
 
@@ -243,11 +259,23 @@ def chees_adapt_update(
     mean = adapt.welford_mean + jnp.sum(delta, axis=0) / count
     m2 = adapt.welford_m2 + jnp.sum(delta * (qs - mean[None, :]), axis=0)
 
+    # Oja's rule on the cross-chain batch: one power-iteration-style step
+    # of the principal component toward Sigma u (SNAPER's difficult
+    # direction). Step size decays like the Welford weight so the estimate
+    # settles as the covariance does.
+    qc = qs - mean[None, :]
+    sigma_u = (qc.T @ (qc @ adapt.pc)) / c
+    eta = 1.0 / jnp.sqrt(t + 10.0)
+    pc_new = adapt.pc + eta * sigma_u
+    norm = jnp.sqrt(jnp.sum(pc_new * pc_new))
+    pc_new = jnp.where(norm > 1e-12, pc_new / norm, adapt.pc)
+    pc_new = jnp.where(jnp.all(jnp.isfinite(pc_new)), pc_new, adapt.pc)
+
     return CheesAdaptState(
         da=da, traj_length=traj_length,
         traj_adam_m=m, traj_adam_v=v, traj_count=t,
         welford_count=count, welford_mean=mean, welford_m2=m2,
-        inv_mass=adapt.inv_mass,
+        inv_mass=adapt.inv_mass, pc=pc_new,
     )
 
 
@@ -281,16 +309,21 @@ def run_chees(
     init_jitter: float = 1e-3,
     initial_traj_length: float | None = None,
     adapt_trajectory: bool = True,
+    criterion: str = "snaper",
 ):
     """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
     (single-device; the batched axis IS the chain axis). Returns
     (samples (C, S, dim) numpy, info dict).
 
-    ``init_jitter`` disperses chains 1..C-1 around psi0 — the ChEES
+    ``init_jitter`` disperses chains 1..C-1 around psi0 — the trajectory
     criterion is a CROSS-CHAIN variance statistic and degenerates when all
-    chains start coincident. ``adapt_trajectory=False`` pins T at
-    ``initial_traj_length`` (the ChEES criterion can collapse on rugged
-    multiscale targets; a pinned jittered T is a robust fallback)."""
+    chains start coincident. ``criterion`` selects the adaptation signal:
+    "snaper" (default; squared change of the principal-component
+    projection, robust on multiscale targets — Sountsov & Hoffman 2021) or
+    "chees" (squared-norm change, Hoffman et al. 2021 — collapses when
+    bulk-direction noise swamps the slow direction, measured on the MAGI
+    posterior). ``adapt_trajectory=False`` pins T at
+    ``initial_traj_length`` (robust fallback)."""
     import logging
     import time as _time
 
@@ -315,13 +348,18 @@ def run_chees(
 
     _, window_end = build_window_schedule(n_adapts)
 
+    if criterion not in ("chees", "snaper"):
+        raise ValueError(f"unknown trajectory criterion '{criterion}'")
+    use_pc = criterion == "snaper"
+
     @jax.jit
     def warmup_chunk(state, adapt, we_flags):
         def step(carry, we):
             state, adapt = carry
             eps = jnp.exp(adapt.da.log_eps).astype(dtype)
             new_state, info = chees_transition(
-                vg_batched, state, eps, adapt.inv_mass, adapt.traj_length
+                vg_batched, state, eps, adapt.inv_mass, adapt.traj_length,
+                pc=adapt.pc if use_pc else None,
             )
             adapt = chees_adapt_update(
                 adapt, new_state.qs, info, target_accept, eps

@@ -512,6 +512,7 @@ def solve_magi(
                 target_accept=config.target_accept_ratio,
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
+                criterion=config.chees_criterion,
             )
         elif config.sampler == "pt-nuts":
             from .tempering import run_parallel_tempering
@@ -535,6 +536,7 @@ def solve_magi(
                 max_depth=config.max_tree_depth,
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
+                ladder_adapt=config.pt_ladder_adapt,
                 checkpoint_path=config.checkpoint_path,
             )
             samples = s_pt[None]  # (1, S, dim)
@@ -622,6 +624,10 @@ def solve_magi(
     if "swap_acceptance" in info:
         diagnostics["swap_acceptance"] = info["swap_acceptance"]
         diagnostics["temperatures"] = info["temperatures"]
+        if "swap_acceptance_per_pair" in info:
+            diagnostics["swap_acceptance_per_pair"] = info[
+                "swap_acceptance_per_pair"
+            ]
     return MagiResult(
         theta=theta_samples,
         x_sampled=x_samples,
