@@ -418,6 +418,15 @@ def solve_magi(
             None if sigma_is_fixed
             else slice(n_times * n_dims + k, target.dimension)
         )
+        # theta-only pre-stage: everything EXCEPT the theta slots frozen.
+        # With X pinned to the data interpolant the degenerate basin
+        # (theta ~ 0 -> flat trajectories) cannot flatten the derivative
+        # error, so theta lands in the data basin regardless of the
+        # bounds-midpoint init (measured on FN n=397: joint GN from
+        # theta=0.1 flows to the degenerate mode at lp -566; with the
+        # theta pre-stage it reaches the data mode at lp -46).
+        theta_freeze = np.ones(target.dimension, dtype=bool)
+        theta_freeze[n_times * n_dims : n_times * n_dims + k] = False
         stages = [prior_temps]
         if prior_temps[2] > 1.001:
             stages = [
@@ -426,6 +435,11 @@ def solve_magi(
             ]
 
         def _gn_stages(make_target_vg, gp_cov_for_map, psi):
+            vg_0, target_0 = make_target_vg(stages[0])
+            psi = gauss_newton_map(
+                vg_0, gp_cov_for_map, y_obs, target_0, psi,
+                stages[0], freeze=theta_freeze,
+            )
             for stage_temps in stages:
                 vg_stage, target_stage = make_target_vg(stage_temps)
                 psi = gauss_newton_map(

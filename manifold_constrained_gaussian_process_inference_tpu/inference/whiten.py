@@ -194,7 +194,7 @@ def gauss_newton_map(
     prior_temperature,
     n_newton: int = 200,
     tol: float = 1e-4,
-    freeze: slice | None = None,
+    freeze: "slice | np.ndarray | None" = None,
     min_improvement: float = 0.05,
 ):
     """MAP optimization by damped Gauss-Newton: step = P(psi)^{-1} grad with
@@ -217,9 +217,10 @@ def gauss_newton_map(
         diag_scale = float(np.median(np.diag(prec)))
         g_np = np.asarray(g, dtype=np.float64)
         if freeze is not None:
-            # Keep frozen coordinates (e.g. log sigma) at their init: the
-            # sigma-inflated degenerate mode otherwise captures the Newton
-            # flow (measured: comparable lp to the data mode).
+            # Keep frozen coordinates at their init (slice or boolean
+            # mask): log sigma (the sigma-inflated degenerate mode
+            # otherwise captures the Newton flow) or everything-but-theta
+            # (the theta-only pre-stage in solve.py).
             g_np = g_np.copy()
             g_np[freeze] = 0.0
 
