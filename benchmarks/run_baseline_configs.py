@@ -85,7 +85,7 @@ def run_config(idx: int, seed: int) -> dict:
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 1.0),
             phi=hp[:, :2].T, sigma=np.array([0.2, 0.2]),  # fixed-sigma mode
-            sampler="pt-nuts", x_whitened=True,
+            sampler="pt-nuts", x_whitened=True, theta_constrained=True,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
@@ -94,7 +94,7 @@ def run_config(idx: int, seed: int) -> dict:
         cfg = MagiConfig(
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
-            sampler="pt-nuts", x_whitened=True,
+            sampler="pt-nuts", x_whitened=True, theta_constrained=True,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
@@ -124,7 +124,7 @@ def run_config(idx: int, seed: int) -> dict:
         cfg = MagiConfig(
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
-            sampler="pt-nuts", x_whitened=True,
+            sampler="pt-nuts", x_whitened=True, theta_constrained=True,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
@@ -137,7 +137,7 @@ def run_config(idx: int, seed: int) -> dict:
             niter_hmc=2000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="nuts", n_chains=16, x_whitened=True,
-            chain_init_jitter=0.5,
+            theta_constrained=True, chain_init_jitter=0.5,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)

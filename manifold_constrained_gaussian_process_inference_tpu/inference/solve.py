@@ -435,10 +435,16 @@ def solve_magi(
             ]
 
         def _gn_stages(make_target_vg, gp_cov_for_map, psi):
+            # The pre-stage optimizes theta against the FROZEN interpolated
+            # X, whose own derivative error dominates lp — it cannot (and
+            # need not) "converge"; a fixed small budget suffices to land
+            # theta in the data basin, so the cap is expected, not a
+            # warning condition.
             vg_0, target_0 = make_target_vg(stages[0])
             psi = gauss_newton_map(
                 vg_0, gp_cov_for_map, y_obs, target_0, psi,
-                stages[0], freeze=theta_freeze,
+                stages[0], freeze=theta_freeze, n_newton=50,
+                warn_on_cap=False,
             )
             for stage_temps in stages:
                 vg_stage, target_stage = make_target_vg(stage_temps)

@@ -196,6 +196,7 @@ def gauss_newton_map(
     tol: float = 1e-4,
     freeze: "slice | np.ndarray | None" = None,
     min_improvement: float = 0.05,
+    warn_on_cap: bool = True,
 ):
     """MAP optimization by damped Gauss-Newton: step = P(psi)^{-1} grad with
     backtracking line search. The GN precision is exactly the curvature the
@@ -271,7 +272,7 @@ def gauss_newton_map(
         "Gauss-Newton MAP: log-posterior %.4g -> %.4g (%d iterations)",
         v_start, v, it + 1,
     )
-    if it + 1 >= n_newton:
+    if it + 1 >= n_newton and warn_on_cap:
         logger.warning(
             "Gauss-Newton MAP hit the iteration cap before converging "
             "(final lp %.4g); the whitener will be built off-mode. Strongly "
