@@ -125,6 +125,9 @@ def run_config(idx: int, seed: int) -> dict:
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="pt-nuts", x_whitened=True, theta_constrained=True,
+            # n=793 executions are heavy; long single XLA executions have
+            # crashed the remote TPU worker — keep device calls short.
+            chunk_size=250,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
@@ -137,7 +140,11 @@ def run_config(idx: int, seed: int) -> dict:
             niter_hmc=2000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="nuts", n_chains=16, x_whitened=True,
-            theta_constrained=True, chain_init_jitter=0.5,
+            # Whitened coordinates have ~unit posterior scale: 0.05-sd
+            # dispersion overdisperses enough for split-R-hat while staying
+            # on the manifold (0.5 strands chains ~14 Mahalanobis units
+            # off it -> frozen chains, R-hat ~1e3; measured).
+            theta_constrained=True, chain_init_jitter=0.05,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
