@@ -137,6 +137,7 @@ def bench_production(host, n_iters=3000, seed=42):
     )
     from manifold_constrained_gaussian_process_inference_tpu.postprocess.diagnostics import (
         ess,
+        split_rhat,
     )
 
     config = MagiConfig(
@@ -145,6 +146,12 @@ def bench_production(host, n_iters=3000, seed=42):
         step_size_factor=0.06,
         prior_temperature=BETA,
         sampler="pt-nuts",
+        # 4 independent ladders vmapped into one program: the per-rung
+        # problem underutilizes the chip (measured batch scaling in
+        # docs/BENCHMARKS.md), so replicas multiply ESS near-linearly at
+        # sublinear wall-time cost — and give real split-R-hat across
+        # independent cold chains.
+        pt_replicas=4,
         x_whitened=True,
         # The ODE declares positive rate constants; sampling through the
         # bounded reparameterization keeps the tempered posterior's c<0
@@ -157,14 +164,19 @@ def bench_production(host, n_iters=3000, seed=42):
     res = solve_magi(host["y"], host["t"], FN_SYSTEM, config)
     dt = time.perf_counter() - t0
 
-    theta = res.theta  # (S, k)
-    ess_vals = np.array([ess(theta[None, :, j]) for j in range(theta.shape[1])])
+    theta = res.theta  # (R*S, k)
+    tpc = res.diagnostics["theta_per_chain"]  # (R, S, k) cold chains
+    ess_vals = np.array([ess(tpc[:, :, j]) for j in range(tpc.shape[-1])])
+    rhat_vals = np.array(
+        [split_rhat(tpc[:, :, j]) for j in range(tpc.shape[-1])]
+    )
     theta_mean = theta.mean(axis=0)
     sigma_mean = res.sigma.mean(axis=0)
     theta_true = host["theta"]
     d = res.diagnostics
     return dict(
         ess_min=float(np.nanmin(ess_vals)),
+        rhat_max=float(np.nanmax(rhat_vals)),
         ess_per_sec=float(np.nanmin(ess_vals) / dt),
         ess_per_sec_sampling=float(
             np.nanmin(ess_vals) / d["sampling_time_s"]
@@ -390,6 +402,7 @@ def main():
             value=round(prod["ess_per_sec"], 3),
             ess_per_sec_sampling_only=round(prod["ess_per_sec_sampling"], 3),
             production_ess_min=round(prod["ess_min"], 1),
+            production_rhat_max=round(prod["rhat_max"], 4),
             production_total_time_s=round(prod["total_time_s"], 1),
             production_theta_rmse=round(prod["theta_rmse"], 4),
             production_sigma_rmse=round(prod["sigma_rmse"], 4),

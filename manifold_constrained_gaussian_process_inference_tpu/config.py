@@ -93,6 +93,13 @@ class MagiConfig:
     # Adapt the ladder spacing during warmup toward equidistributed
     # per-pair swap rejection (Syed et al. 2021). False = static ladder.
     pt_ladder_adapt: bool = True
+    # Independent PT ladders run as one vmapped program (replica axis x
+    # ladder axis). ESS scales ~linearly in replicas while wall time grows
+    # sublinearly (the per-rung problem underutilizes the chip — measured
+    # batch scaling in docs/BENCHMARKS.md); replicas also give real
+    # split-R-hat across independent cold chains. Ladder adaptation pools
+    # swap statistics across replicas.
+    pt_replicas: int = 1
     dtype: Optional[jnp.dtype] = None
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

@@ -539,10 +539,11 @@ def solve_magi(
 
             if n_chains != 1:
                 logger.warning(
-                    "sampler='pt-nuts' runs one temperature ladder; "
-                    "n_chains=%d ignored.", n_chains,
+                    "sampler='pt-nuts' runs pt_replicas independent "
+                    "temperature ladders; n_chains=%d ignored.", n_chains,
                 )
-                n_chains = 1
+            n_rep = int(config.pt_replicas)
+            n_chains = n_rep
             s_pt, info = run_parallel_tempering(
                 vg,
                 jnp.asarray(psi0_chains[0], dtype=dtype),
@@ -558,18 +559,27 @@ def solve_magi(
                 progress=config.verbose,
                 ladder_adapt=config.pt_ladder_adapt,
                 checkpoint_path=config.checkpoint_path,
+                n_replicas=n_rep,
             )
-            samples = s_pt[None]  # (1, S, dim)
-            # normalize info to the (C, S) layout of run_chains
+            # normalize info to the (C, S) layout of run_chains; the cold
+            # (T=1) rung of each replica is one posterior chain.
             info = dict(info)
-            info["lp"] = info["lp"][None]
-            info["diverging"] = info["diverging"][:, 0][None]
-            info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+            if n_rep == 1:
+                samples = s_pt[None]  # (1, S, dim)
+                info["lp"] = info["lp"][None]
+                info["diverging"] = info["diverging"][:, 0][None]
+                info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+                info["final_psi"] = info["final_psi"][:1]
+            else:
+                samples = s_pt  # (R, S, dim)
+                info["lp"] = info["lp"].T  # (S, R) -> (R, S)
+                info["diverging"] = info["diverging"][:, :, 0].T
+                info["num_leapfrog"] = info["num_leapfrog"][:, :, 0].T
+                info["final_psi"] = info["final_psi"][:, 0]  # cold rungs
             info["accept_prob"] = np.ones_like(info["lp"])
             info["tree_depth"] = np.zeros_like(info["lp"])
             info["energy"] = np.zeros_like(info["lp"])
-            info["final_psi"] = info["final_psi"][:1]
-            info["warmup_diverging"] = np.zeros((1, 0))
+            info["warmup_diverging"] = np.zeros((n_chains, 0))
         elif config.sampler == "nuts":
             samples, info = run_chains(
                 vg,

@@ -228,18 +228,26 @@ def run_parallel_tempering(
     progress: bool = False,
     ladder_adapt: bool = True,
     checkpoint_path=None,
+    n_replicas: int = 1,
 ):
-    """PT-NUTS. Returns (samples (S, dim) from the T=1 chain, info).
+    """PT-NUTS. Returns (samples from the T=1 chain(s), info): samples are
+    (S, dim) when ``n_replicas == 1`` (default), else (R, S, dim) — R
+    INDEPENDENT ladders vmapped into one program (replica axis x ladder
+    axis on device). Replication multiplies ESS near-linearly at sublinear
+    wall-time cost (the per-rung problem underutilizes the chip) and gives
+    independent cold chains for split-R-hat.
 
     The ladder SPACING adapts during the first ~3/4 of warmup
     (``adapt_ladder``: equidistributed per-pair rejection, endpoints
-    fixed); ``ladder_adapt=False`` keeps the initial ladder. When
+    fixed, swap statistics POOLED across replicas — all replicas share one
+    ladder); ``ladder_adapt=False`` keeps the initial ladder. When
     ``checkpoint_path`` is set, a resumable PT checkpoint (.npz) is written
     after every sampling chunk (see ``pt_checkpoint``/
     ``run_parallel_tempering_resumed``).
     """
     dtype = psi0.dtype
-    dim = psi0.shape[0]
+    dim = psi0.shape[-1]
+    n_rep = int(n_replicas)
     n_keep = n_samples - n_adapts
     if temperatures is None:
         temperatures = (
@@ -250,28 +258,45 @@ def run_parallel_tempering(
     temperatures = np.asarray(temperatures, dtype=np.float64)
     k_temps = len(temperatures)
 
-    lp0, g0 = vg(psi0)
-    carry = PTCarry(
-        qs=jnp.tile(psi0[None], (k_temps, 1)),
-        lp=jnp.tile(lp0[None], (k_temps,)),
-        grads=jnp.tile(g0[None], (k_temps, 1)),
-        key=key,
-        da=jax.vmap(lambda _: da_init(jnp.asarray(initial_step_size, dtype)))(
-            jnp.arange(k_temps)
-        ),
-        welford=jax.vmap(lambda _: welford_init(dim, dtype))(
-            jnp.arange(k_temps)
-        ),
-        inv_mass=jnp.ones((k_temps, dim), dtype),
-        inv_temps=jnp.asarray(1.0 / temperatures, dtype),
-        n_swap_accept=jnp.zeros((k_temps,), jnp.int32),
-        n_swap_try=jnp.zeros((k_temps,), jnp.int32),
-        iteration=jnp.int32(0),
+    psi0s = (
+        jnp.broadcast_to(psi0, (n_rep, dim)) if psi0.ndim == 1 else psi0
     )
+    lp0s, g0s = jax.vmap(vg)(psi0s)
+    keys = jax.random.split(key, n_rep)
+    inv_temps0 = jnp.asarray(1.0 / temperatures, dtype)
+
+    def one_replica_carry(psi, lp0, g0, k):
+        return PTCarry(
+            qs=jnp.tile(psi[None], (k_temps, 1)),
+            lp=jnp.tile(lp0[None], (k_temps,)),
+            grads=jnp.tile(g0[None], (k_temps, 1)),
+            key=k,
+            da=jax.vmap(
+                lambda _: da_init(jnp.asarray(initial_step_size, dtype))
+            )(jnp.arange(k_temps)),
+            welford=jax.vmap(lambda _: welford_init(dim, dtype))(
+                jnp.arange(k_temps)
+            ),
+            inv_mass=jnp.ones((k_temps, dim), dtype),
+            inv_temps=inv_temps0,
+            n_swap_accept=jnp.zeros((k_temps,), jnp.int32),
+            n_swap_try=jnp.zeros((k_temps,), jnp.int32),
+            iteration=jnp.int32(0),
+        )
+
+    # Leading replica axis on every carry leaf; each step is the one-ladder
+    # PT step vmapped over it (per-iteration adaptation flags are shared).
+    carry = jax.vmap(one_replica_carry)(psi0s, lp0s, g0s, keys)
 
     in_window, window_end = build_window_schedule(n_adapts)
-    warm_step = _make_pt_step(vg, k_temps, target_accept, max_depth, True)
-    sample_step = _make_pt_step(vg, k_temps, target_accept, max_depth, False)
+    warm_step = jax.vmap(
+        _make_pt_step(vg, k_temps, target_accept, max_depth, True),
+        in_axes=(0, None),
+    )
+    sample_step = jax.vmap(
+        _make_pt_step(vg, k_temps, target_accept, max_depth, False),
+        in_axes=(0, None),
+    )
 
     compiled = {}
 
@@ -300,18 +325,23 @@ def run_parallel_tempering(
             jnp.asarray(in_window[pos : pos + length]),
             jnp.asarray(window_end[pos : pos + length]),
         )
-        carry, (q0s, lp0s, div, _) = run_chunk(carry, warm_step, flags, length, "w")
+        carry, (q0s, lp0s_, div, _) = run_chunk(carry, warm_step, flags, length, "w")
         warm_div.append(np.asarray(div))
         pos += length
         if ladder_adapt and pos <= ladder_freeze_at:
-            old = np.asarray(carry.inv_temps, dtype=np.float64)
+            old = np.asarray(carry.inv_temps, dtype=np.float64)[0]
             new = adapt_ladder(
-                old, np.asarray(carry.n_swap_accept),
-                np.asarray(carry.n_swap_try),
+                old,
+                np.asarray(carry.n_swap_accept).sum(axis=0),
+                np.asarray(carry.n_swap_try).sum(axis=0),
             )
             if not np.allclose(new, old):
                 carry = _reset_counters(
-                    carry._replace(inv_temps=jnp.asarray(new, dtype))
+                    carry._replace(
+                        inv_temps=jnp.tile(
+                            jnp.asarray(new, dtype)[None], (n_rep, 1)
+                        )
+                    )
                 )
                 if progress:
                     logger.info(
@@ -323,18 +353,18 @@ def run_parallel_tempering(
 
     # Report swap statistics for the sampling phase only.
     carry = _reset_counters(carry)
-    temperatures = 1.0 / np.asarray(carry.inv_temps, dtype=np.float64)
+    temperatures = 1.0 / np.asarray(carry.inv_temps, dtype=np.float64)[0]
 
     samples, lps, divs, leaps = [], [], [], []
     pos = 0
     while pos < n_keep:
         length = min(chunk_size, n_keep - pos)
         flags = (jnp.zeros(length, bool), jnp.zeros(length, bool))
-        carry, (qs, lp0s, div, leap) = run_chunk(
+        carry, (qs, lp0s_, div, leap) = run_chunk(
             carry, sample_step, flags, length, "s"
         )
         samples.append(np.asarray(qs))
-        lps.append(np.asarray(lp0s))
+        lps.append(np.asarray(lp0s_))
         divs.append(np.asarray(div))
         leaps.append(np.asarray(leap))
         pos += length
@@ -346,28 +376,51 @@ def run_parallel_tempering(
             logger.info("PT sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0)
 
     info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
-    return (
-        np.concatenate(samples) if samples else np.zeros((0, dim)),
-        info,
-    )
+    out = (
+        np.concatenate(samples)
+        if samples else np.zeros((0, n_rep, dim))
+    )  # (S, R, dim)
+    if n_rep == 1:
+        return out[:, 0], info
+    return out.transpose(1, 0, 2), info  # (R, S, dim)
+
+
+def _squeeze_rep(a):
+    """Drop a leading replica axis of size 1 (single-ladder compatibility)."""
+    a = np.asarray(a)
+    return a[0] if a.ndim >= 1 and a.shape[0] == 1 else a
 
 
 def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
-    acc = np.asarray(carry.n_swap_accept, dtype=np.float64)[: k_temps - 1]
-    tries = np.asarray(carry.n_swap_try, dtype=np.float64)[: k_temps - 1]
+    # Counters carry a leading replica axis; swap statistics pool over it.
+    acc = np.asarray(carry.n_swap_accept, dtype=np.float64).sum(axis=0)[
+        : k_temps - 1
+    ]
+    tries = np.asarray(carry.n_swap_try, dtype=np.float64).sum(axis=0)[
+        : k_temps - 1
+    ]
     per_pair = acc / np.maximum(tries, 1.0)
     swap_rate = float(acc.sum()) / max(float(tries.sum()), 1.0)
+    n_rep = np.asarray(carry.lp).shape[0]
+    # Per-step outputs stack as (S, R, ...); collapse the replica axis for
+    # the single-ladder case so shapes match the pre-replica contract.
+    cat = (lambda xs, empty: np.concatenate(xs) if xs else empty)
+    lp = cat(lps, np.zeros((0, n_rep)))
+    div = cat(divs, np.zeros((0, n_rep, k_temps)))
+    leap = cat(leaps, np.zeros((0, n_rep, k_temps)))
+    if n_rep == 1:
+        lp, div, leap = lp[:, 0], div[:, 0], leap[:, 0]
     return {
-        "lp": np.concatenate(lps) if lps else np.zeros(0),
-        "diverging": np.concatenate(divs) if divs else np.zeros((0, k_temps)),
-        "num_leapfrog": np.concatenate(leaps) if leaps else np.zeros((0, k_temps)),
+        "lp": lp,
+        "diverging": div,
+        "num_leapfrog": leap,
         "swap_acceptance": swap_rate,
         "swap_acceptance_per_pair": per_pair,
         "temperatures": temperatures,
-        "step_size": np.asarray(jnp.exp(carry.da.log_eps_avg)),
-        "inv_mass": np.asarray(carry.inv_mass),
-        "final_psi": np.asarray(carry.qs),
-        "final_key": np.asarray(carry.key),
+        "step_size": _squeeze_rep(np.exp(np.asarray(carry.da.log_eps_avg))),
+        "inv_mass": _squeeze_rep(carry.inv_mass),
+        "final_psi": _squeeze_rep(carry.qs),
+        "final_key": _squeeze_rep(carry.key),
     }
 
 
@@ -378,17 +431,20 @@ def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
 def pt_checkpoint(carry: PTCarry, n_samples_drawn: int = 0) -> dict:
     """Everything needed to continue PT sampling: full-ladder positions and
     untempered lp, per-rung step sizes/metrics, the adapted ladder, swap
-    counters, sweep parity, and the PRNG key."""
+    counters, sweep parity, and the PRNG key. Single-ladder checkpoints
+    store ladder-shaped arrays (back-compatible); replicated runs store a
+    leading replica axis (qs.ndim == 3)."""
+    sq = _squeeze_rep
     return dict(
-        qs=np.asarray(carry.qs),
-        lp=np.asarray(carry.lp),
-        eps=np.asarray(jnp.exp(carry.da.log_eps_avg)),
-        inv_mass=np.asarray(carry.inv_mass),
-        inv_temps=np.asarray(carry.inv_temps),
-        n_swap_accept=np.asarray(carry.n_swap_accept),
-        n_swap_try=np.asarray(carry.n_swap_try),
-        iteration=np.asarray(carry.iteration),
-        key=np.asarray(carry.key),
+        qs=sq(carry.qs),
+        lp=sq(carry.lp),
+        eps=sq(np.exp(np.asarray(carry.da.log_eps_avg))),
+        inv_mass=sq(carry.inv_mass),
+        inv_temps=sq(carry.inv_temps),
+        n_swap_accept=sq(carry.n_swap_accept),
+        n_swap_try=sq(carry.n_swap_try),
+        iteration=sq(carry.iteration),
+        key=sq(carry.key),
         n_samples_drawn=np.asarray(n_samples_drawn),
     )
 
@@ -420,30 +476,57 @@ def run_parallel_tempering_resumed(
         from ..config import default_dtype
 
         dtype = default_dtype()
-    qs = jnp.asarray(ckpt["qs"], dtype)
-    k_temps, dim = qs.shape
-    eps = jnp.asarray(ckpt["eps"], dtype)
+    # Single-ladder checkpoints store (K, dim); replicated runs (R, K, dim).
+    qs_np = np.asarray(ckpt["qs"])
+    n_rep = qs_np.shape[0] if qs_np.ndim == 3 else 1
+    qs = jnp.asarray(qs_np.reshape(n_rep, *qs_np.shape[-2:]), dtype)
+    _, k_temps, dim = qs.shape
+    eps = jnp.asarray(
+        np.asarray(ckpt["eps"]).reshape(n_rep, k_temps), dtype
+    )
     # Positions round-trip through the .npz at storage precision; recompute
     # lp/grads instead of trusting saved lp against re-cast positions.
-    lp, grads = jax.vmap(vg)(qs)
+    lp, grads = jax.vmap(jax.vmap(vg))(qs)
 
     carry = PTCarry(
         qs=qs,
         lp=lp,
         grads=grads,
-        key=jnp.asarray(ckpt["key"].astype(np.uint32)),
-        da=jax.vmap(da_init)(eps),
-        welford=jax.vmap(lambda _: welford_init(dim, dtype))(
-            jnp.arange(k_temps)
+        key=jnp.asarray(
+            np.asarray(ckpt["key"]).astype(np.uint32).reshape(n_rep, -1)
         ),
-        inv_mass=jnp.asarray(ckpt["inv_mass"], dtype),
-        inv_temps=jnp.asarray(ckpt["inv_temps"], dtype),
-        n_swap_accept=jnp.asarray(ckpt["n_swap_accept"], jnp.int32),
-        n_swap_try=jnp.asarray(ckpt["n_swap_try"], jnp.int32),
-        iteration=jnp.asarray(ckpt["iteration"], jnp.int32),
+        da=jax.vmap(jax.vmap(da_init))(eps),
+        welford=jax.vmap(
+            lambda _: jax.vmap(lambda __: welford_init(dim, dtype))(
+                jnp.arange(k_temps)
+            )
+        )(jnp.arange(n_rep)),
+        inv_mass=jnp.asarray(
+            np.asarray(ckpt["inv_mass"]).reshape(n_rep, k_temps, dim), dtype
+        ),
+        inv_temps=jnp.asarray(
+            np.asarray(ckpt["inv_temps"]).reshape(n_rep, k_temps), dtype
+        ),
+        n_swap_accept=jnp.asarray(
+            np.asarray(ckpt["n_swap_accept"]).reshape(n_rep, k_temps),
+            jnp.int32,
+        ),
+        n_swap_try=jnp.asarray(
+            np.asarray(ckpt["n_swap_try"]).reshape(n_rep, k_temps), jnp.int32
+        ),
+        iteration=jnp.asarray(
+            np.asarray(ckpt["iteration"]).reshape(n_rep), jnp.int32
+        ),
     )
-    temperatures = 1.0 / np.asarray(ckpt["inv_temps"], dtype=np.float64)
-    sample_step = _make_pt_step(vg, k_temps, target_accept, max_depth, False)
+    temperatures = 1.0 / np.asarray(
+        np.asarray(ckpt["inv_temps"], dtype=np.float64).reshape(
+            n_rep, k_temps
+        )[0]
+    )
+    sample_step = jax.vmap(
+        _make_pt_step(vg, k_temps, target_accept, max_depth, False),
+        in_axes=(0, None),
+    )
 
     compiled = {}
 
@@ -480,8 +563,9 @@ def run_parallel_tempering_resumed(
 
     info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
     new_ckpt = pt_checkpoint(carry, n_samples_drawn=drawn0 + n_samples)
-    return (
-        np.concatenate(samples) if samples else np.zeros((0, dim)),
-        info,
-        new_ckpt,
-    )
+    out = (
+        np.concatenate(samples)
+        if samples else np.zeros((0, n_rep, dim))
+    )  # (S, R, dim)
+    out = out[:, 0] if n_rep == 1 else out.transpose(1, 0, 2)
+    return out, info, new_ckpt

@@ -170,3 +170,79 @@ def test_pt_checkpoint_resume(tmp_path):
     assert np.allclose(info2["temperatures"], info1["temperatures"])
     # checkpoint on disk was updated by the resumed run
     assert int(load_pt_checkpoint(path)["n_samples_drawn"]) == 700
+
+
+def test_pt_replicas_shapes_and_exactness():
+    """n_replicas=R returns (R, S, dim) — R independent cold chains, each
+    sampling the exact target; swap statistics pool across replicas."""
+    vg = jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
+    s, info = run_parallel_tempering(
+        vg, jnp.zeros(3), jax.random.PRNGKey(7), n_samples=2500,
+        n_adapts=1000, n_temps=4, max_temp=8.0, n_replicas=3,
+    )
+    assert s.shape == (3, 1500, 3)
+    # replicas are driven by distinct keys -> distinct draws
+    assert not np.allclose(s[0], s[1])
+    for r in range(3):
+        assert abs(s[r].mean()) < 0.15
+        assert np.all(np.abs(s[r].var(0) - 1.0) < 0.3)
+    assert info["lp"].shape == (1500, 3)
+    assert info["diverging"].shape == (1500, 3, 4)
+    assert 0.0 <= info["swap_acceptance"] <= 1.0
+    assert info["final_psi"].shape == (3, 4, 3)
+
+
+def test_pt_replicas_checkpoint_resume(tmp_path):
+    from manifold_constrained_gaussian_process_inference_tpu.inference.tempering import (
+        load_pt_checkpoint,
+        run_parallel_tempering_resumed,
+    )
+
+    vg = _bimodal_vg(sep=6.0)
+    path = str(tmp_path / "pt_rep_ckpt.npz")
+    s1, info1 = run_parallel_tempering(
+        vg, jnp.array([3.0, 0.0]), jax.random.PRNGKey(8),
+        n_samples=900, n_adapts=500, n_temps=4, max_temp=16.0,
+        chunk_size=200, checkpoint_path=path, n_replicas=2,
+    )
+    assert s1.shape == (2, 400, 2)
+    ckpt = load_pt_checkpoint(path)
+    assert ckpt["qs"].shape == (2, 4, 2)
+    s2, info2, new_ckpt = run_parallel_tempering_resumed(
+        vg, ckpt, n_samples=300, chunk_size=150,
+    )
+    assert s2.shape == (2, 300, 2)
+    assert np.all(np.isfinite(s2))
+    assert np.allclose(info2["temperatures"], info1["temperatures"])
+
+
+def test_solve_magi_pt_replicas_smoke():
+    """pt_replicas through the public API: theta_per_chain carries R cold
+    chains and split-R-hat is computable across them."""
+    from manifold_constrained_gaussian_process_inference_tpu import solve_magi
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.postprocess.diagnostics import (
+        split_rhat,
+    )
+
+    t = np.linspace(0.0, 10.0, 21)
+    rng = np.random.default_rng(0)
+    y = np.stack(
+        [2.0 * np.sin(0.8 * t), 1.0 + 0.5 * np.cos(0.8 * t)], axis=-1
+    ) + 0.2 * rng.normal(size=(21, 2))
+    cfg = MagiConfig(
+        niter_hmc=200, seed=0, sampler="pt-nuts", pt_temps=3,
+        pt_replicas=2, phi=np.array([[2.0, 2.0], [1.5, 1.5]]),
+        sigma=np.array([0.2, 0.2]),
+    )
+    res = solve_magi(y, t, FN_SYSTEM, cfg)
+    tpc = res.diagnostics["theta_per_chain"]
+    assert tpc.shape[0] == 2 and tpc.shape[2] == 3
+    assert res.theta.shape[0] == 2 * tpc.shape[1]
+    assert np.isfinite(split_rhat(tpc[:, :, 0]))
+    assert res.diagnostics["n_chains"] == 2
