@@ -44,10 +44,24 @@ def plot_magi(
     include_lp: bool = True,
     nplotcol: int = 3,
     save_path: Optional[str] = None,
+    line_kwargs: Optional[dict] = None,
+    ci_kwargs: Optional[dict] = None,
+    obs_kwargs: Optional[dict] = None,
+    **axes_kwargs,
 ):
     """Returns the matplotlib Figure. Invalid ``type`` raises ValueError
-    (parity: MagiJl.jl:1151-1153)."""
+    (parity: MagiJl.jl:1151-1153).
+
+    Per-plot styling passthrough (the reference forwards Plots.jl attribute
+    kwargs to every subplot, MagiJl.jl:1015-1154): ``line_kwargs``/
+    ``ci_kwargs``/``obs_kwargs`` merge into the mean-line (and trace-line)
+    plot, the credible ribbon, and the observation scatter respectively;
+    any remaining keyword arguments are applied to every subplot's Axes via
+    ``ax.set(...)`` (e.g. ``xlabel=..., ylim=(0, 4), yscale='log'``)."""
     plt = _mpl()
+    line_kwargs = dict(line_kwargs or {})
+    ci_kwargs = dict(ci_kwargs or {})
+    obs_kwargs = dict(obs_kwargs or {})
     if type == "traj":
         x = np.asarray(results.x_sampled)  # (S, n, D)
         n_samples, n_times, n_dims = x.shape
@@ -65,13 +79,20 @@ def plot_magi(
         for d in range(n_dims):
             ax = axes[d // ncol][d % ncol]
             mean = x[:, :, d].mean(axis=0)
-            ax.plot(ts, mean, color="tab:blue", label="Mean")
+            ax.plot(
+                ts, mean,
+                **{"color": "tab:blue", "label": "Mean", **line_kwargs},
+            )
             if ci:
                 lo = np.quantile(x[:, :, d], lower, axis=0)
                 hi = np.quantile(x[:, :, d], upper, axis=0)
                 ax.fill_between(
-                    ts, lo, hi, alpha=0.3, color="skyblue",
-                    label=f"{(upper - lower) * 100:.0f}% CI",
+                    ts, lo, hi,
+                    **{
+                        "alpha": 0.3, "color": "skyblue",
+                        "label": f"{(upper - lower) * 100:.0f}% CI",
+                        **ci_kwargs,
+                    },
                 )
             if obs and y_obs is not None and t_obs is not None:
                 yo = np.asarray(y_obs)
@@ -79,11 +100,16 @@ def plot_magi(
                     valid = np.isfinite(yo[:, d])
                     ax.scatter(
                         np.asarray(t_obs)[valid], yo[valid, d],
-                        s=8, color="tab:red", zorder=3, label="Obs",
+                        **{
+                            "s": 8, "color": "tab:red", "zorder": 3,
+                            "label": "Obs", **obs_kwargs,
+                        },
                     )
             ax.set_title(names[d], fontsize=9)
             ax.set_xlabel("Time" if t_obs is not None else "Index")
             ax.set_ylabel("Level")
+            if axes_kwargs:
+                ax.set(**axes_kwargs)
         for i in range(n_dims, nrow * ncol):
             axes[i // ncol][i % ncol].set_visible(False)
         axes[0][0].legend(fontsize=7)
@@ -103,8 +129,13 @@ def plot_magi(
         for i in range(p):
             ax = axes[i // ncol][i % ncol]
             for c in range(samples.shape[0]):
-                ax.plot(samples[c, :, i], lw=0.5, alpha=0.8)
+                ax.plot(
+                    samples[c, :, i],
+                    **{"lw": 0.5, "alpha": 0.8, **line_kwargs},
+                )
             ax.set_title(names[i], fontsize=9)
+            if axes_kwargs:
+                ax.set(**axes_kwargs)
         for i in range(p, nrow * ncol):
             axes[i // ncol][i % ncol].set_visible(False)
     else:

@@ -113,3 +113,33 @@ def test_plot_magi_smoke(dummy_results, tmp_path):
     fig2 = plot_magi(dummy_results, type="trace", include_sigma=True)
     with pytest.raises(ValueError):
         plot_magi(dummy_results, type="nope")
+
+
+def test_plot_magi_styling_passthrough(dummy_results):
+    """Per-plot styling kwargs reach the artists and every Axes (the
+    reference forwards Plots.jl attribute kwargs, MagiJl.jl:1015-1154)."""
+    pytest.importorskip("matplotlib")
+    from manifold_constrained_gaussian_process_inference_tpu.postprocess import (
+        plot_magi,
+    )
+
+    fig = plot_magi(
+        dummy_results, type="traj",
+        line_kwargs={"color": "green", "linestyle": "--"},
+        ci_kwargs={"alpha": 0.15},
+        ylim=(-5.0, 5.0), xlabel="t (s)",
+    )
+    ax = fig.axes[0]
+    assert ax.get_ylim() == (-5.0, 5.0)
+    assert ax.get_xlabel() == "t (s)"
+    (mean_line,) = [l for l in ax.lines if l.get_label() == "Mean"]
+    assert mean_line.get_color() == "green"
+    assert mean_line.get_linestyle() == "--"
+
+    fig2 = plot_magi(
+        dummy_results, type="trace", line_kwargs={"alpha": 0.35},
+        xlabel="iteration",
+    )
+    ax2 = fig2.axes[0]
+    assert ax2.get_xlabel() == "iteration"
+    assert ax2.lines[0].get_alpha() == 0.35
