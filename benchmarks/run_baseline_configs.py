@@ -126,6 +126,7 @@ def run_config(idx: int, seed: int) -> dict:
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="pt-nuts", x_whitened=True, theta_constrained=True,
+            pt_replicas=4,
             # n=793 executions are heavy; long single XLA executions have
             # crashed the remote TPU worker (it died 3x at chunk 250) —
             # keep each device call well under a minute.

@@ -309,13 +309,35 @@ def solve_magi(
     band_impl = config.band_impl
     if band_impl == "auto":
         # Dense (D, n, n) einsums ride the MXU and win for moderate n; the
-        # O(n*b) band-storage path wins once n^2 HBM traffic dominates.
-        # Crossover measured on v5e (band 20): dense 20.3k vs pallas 17.4k
-        # evals/s at n=397, 12.5k vs 15.6k at n=793, 1.2k vs 12.0k at n=3169.
+        # O(n*b) band-storage path wins once n^2 HBM traffic dominates —
+        # but only for SEQUENTIAL single-chain evaluation. Batched chains
+        # turn the dense matvecs into matmuls whose n^2 matrix fetch
+        # amortizes over the batch: measured on v5e at n=793 (band 80),
+        # dense is 15.8k evals/s at batch 1 but 1.63M at batch 64 (12.5%
+        # MFU, 63% HBM), while the Pallas band kernel stays ~9-14k at any
+        # batch (vmap serializes the kernel grid). So any batched sampler
+        # configuration prefers dense as long as the factor stacks fit
+        # comfortably in HBM. Sequential crossover (band 20): dense 20.3k
+        # vs pallas 17.4k at n=397, 1.2k vs 12.0k at n=3169.
         from ..ops.pallas_band import _tpu_available
 
         on_tpu = _tpu_available()
+        eff_batch = (
+            config.pt_temps * config.pt_replicas
+            if config.sampler == "pt-nuts" else config.n_chains
+        )
+        dense_bytes = n_dims * 6 * n_times * n_times * 4
+        from ..ops.pallas_band import _PALLAS_MAX_BANDWIDTH
+
         if n_times <= (512 if on_tpu else 1024):
+            band_impl = "dense"
+        elif eff_batch >= 8 and dense_bytes <= 2 << 30:
+            band_impl = "dense"
+        elif gp_cov.bandsize > _PALLAS_MAX_BANDWIDTH:
+            # Band-path flops scale with the band width; past this point
+            # even SEQUENTIAL dense einsums win (n=3169: dense 1.2k evals/s
+            # vs the XLA band path's ~W-scaled ~0.6k at band 160), and the
+            # Pallas kernel's unrolled rolls stop compiling.
             band_impl = "dense"
         else:
             band_impl = "pallas" if on_tpu else "band"

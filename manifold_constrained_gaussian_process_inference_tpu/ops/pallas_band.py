@@ -118,8 +118,19 @@ def _tpu_available() -> bool:
     return "TPU" in getattr(dev, "device_kind", "") or dev.platform == "tpu"
 
 
+# The kernel unrolls all W = 2b+1 diagonal shifts as lane-rolls; beyond
+# this bandwidth the Mosaic program grows pathological (multi-minute
+# compiles / kernel faults observed at W = 321 on v5e). The XLA roll path
+# computes the identical contraction and compiles fine.
+_PALLAS_MAX_BANDWIDTH = 64
+
+
 def _dispatch(bands, xs, bandwidth, use_pallas):
-    if use_pallas and _tpu_available():
+    if (
+        use_pallas
+        and bandwidth <= _PALLAS_MAX_BANDWIDTH
+        and _tpu_available()
+    ):
         return _pallas_band_matvec_impl(bands, xs, bandwidth)
     return _xla_band_matvec(bands, xs, bandwidth)
 
