@@ -55,27 +55,55 @@ def _theta_dz(theta_transform, z_theta: np.ndarray) -> np.ndarray:
     return out
 
 
+def make_precision_cache(gp_cov, yobs, target, prior_temperature) -> dict:
+    """psi-independent pieces of the GN precision. Building these once per
+    GN stage turns the per-iteration assembly from O((nD)^3) dense BLAS
+    (the old kb @ b / b' kbb products — ~8 GFLOP at n=793, the dominant
+    cost of the whole MAP stage) into O((nD)^2) elementwise work: the
+    pointwise ODE Jacobian J only ever enters as diagonal blocks, so
+    J'KJ / J'KM / M'KJ are row/column scalings of the constant banded
+    matrices, and M'KM is constant."""
+    beta = np.asarray(prior_temperature, dtype=np.float64)
+    mask = np.isfinite(np.asarray(yobs))
+    n, d = mask.shape
+    cinv = np.asarray(gp_cov.Cinv_band, dtype=np.float64)
+    kinv = np.asarray(gp_cov.Kinv_band, dtype=np.float64)
+    mphi = np.asarray(gp_cov.mphi_band, dtype=np.float64)
+    km = np.stack([kinv[p] @ mphi[p] for p in range(d)])      # K M blocks
+    mkm = np.stack([mphi[p].T @ km[p] for p in range(d)])     # M'K M blocks
+    return dict(
+        beta=beta, mask=mask, n=n, d=d, k=target.n_params_ode,
+        cinv=cinv, kinv=kinv, mphi=mphi, km=km, mkm=mkm,
+        tvec=np.asarray(gp_cov.tvec, dtype=np.float64),
+        nobs=mask.sum(axis=0).astype(np.float64),
+        bandsize=int(getattr(gp_cov, "bandsize", n - 1)),
+    )
+
+
 def build_precision(
     gp_cov,
     yobs: np.ndarray,
     target,
     psi_center: np.ndarray,
     prior_temperature,
+    cache: dict = None,
 ) -> np.ndarray:
     """Gauss-Newton precision of the log-posterior at psi_center (float64,
-    host). ``target`` supplies the system, transforms, and layout."""
-    beta = np.asarray(prior_temperature, dtype=np.float64)
-    mask = np.isfinite(np.asarray(yobs))
-    n, d = mask.shape
+    host). ``target`` supplies the system, transforms, and layout.
+
+    With B = J - M (pointwise ODE Jacobian minus blockdiag mphi) the x
+    block is  B'KB = J'KJ - J'KM - M'KJ + M'KM;  J's blocks are diagonal,
+    so every J-product is an elementwise row/column scaling of the cached
+    banded matrices — no (nD)^3 products anywhere."""
+    if cache is None:
+        cache = make_precision_cache(gp_cov, yobs, target, prior_temperature)
+    beta, mask = cache["beta"], cache["mask"]
+    n, d, k = cache["n"], cache["d"], cache["k"]
+    kinv, cinv = cache["kinv"], cache["cinv"]
+    mphi, km, mkm = cache["mphi"], cache["km"], cache["mkm"]
     nd = n * d
-    k = target.n_params_ode
     dim = psi_center.shape[0]
     psi_center = np.asarray(psi_center, dtype=np.float64)
-
-    cinv = np.asarray(gp_cov.Cinv_band, dtype=np.float64)
-    kinv = np.asarray(gp_cov.Kinv_band, dtype=np.float64)
-    mphi = np.asarray(gp_cov.mphi_band, dtype=np.float64)
-    tvec = np.asarray(gp_cov.tvec, dtype=np.float64)
 
     # Unpack the center on the CONSTRAINED scale for Jacobian evaluation.
     x_c = psi_center[:nd].reshape(d, n).T
@@ -91,14 +119,13 @@ def build_precision(
     else:
         sigma_c = np.exp(np.clip(psi_center[nd + k :], -15, 15))
 
-    import jax
-
+    tvec = cache["tvec"]
     j0 = np.asarray(
         target.system.f_dx(
             jnp.asarray(x_c), jnp.asarray(theta_c), jnp.asarray(tvec)
         ),
         dtype=np.float64,
-    )  # (n, D, D)
+    )  # (n, D, D): j0[i, q, p] = df_q/dx_p at t_i
     jth = np.asarray(
         target.system.f_dtheta(
             jnp.asarray(x_c), jnp.asarray(theta_c), jnp.asarray(tvec)
@@ -107,35 +134,47 @@ def build_precision(
     )  # (n, D, k)
     jth = jth * _theta_dz(target.theta_transform, z_theta)[None, None, :]
 
-    # B (nd, nd): block (p, j) = diag(j0[:, p, j]) - delta_pj mphi_p
-    b = np.zeros((nd, nd))
-    for p in range(d):
-        b[p * n : (p + 1) * n, p * n : (p + 1) * n] = -mphi[p]
-        for j in range(d):
-            blk = b[p * n : (p + 1) * n, j * n : (j + 1) * n]
-            blk[np.arange(n), np.arange(n)] += j0[:, p, j]
-    # B_th (nd, k): rows (p, i)
-    b_th = np.concatenate([jth[:, p, :] for p in range(d)], axis=0)
-
-    kb = np.zeros((nd, nd))
     prec = np.zeros((dim, dim))
+    # x block: B'KB/b0 + blockdiag(Cinv)/b1 + observation diagonal.
+    pxx = np.empty((d, n, d, n))
+    for p in range(d):
+        for j in range(d):
+            acc = np.zeros((n, n))
+            for q in range(d):  # J'KJ
+                acc += (
+                    j0[:, q, p][:, None] * kinv[q] * j0[:, q, j][None, :]
+                )
+            acc -= j0[:, j, p][:, None] * km[j]        # J'KM
+            acc -= km[p].T * j0[:, p, j][None, :]      # M'KJ
+            if p == j:
+                acc += mkm[p]                          # M'KM
+            pxx[p, :, j, :] = acc
+    prec[:nd, :nd] = pxx.reshape(nd, nd) / beta[0]
     for p in range(d):
         sl = slice(p * n, (p + 1) * n)
-        kb[sl, sl] = kinv[p]
         prec[sl, sl] += cinv[p] / beta[1]
-    kbb = kb @ b
-    prec[:nd, :nd] += b.T @ kbb / beta[0]
     prec[np.arange(nd), np.arange(nd)] += (
         mask.T.reshape(-1) / np.repeat(sigma_c**2, n) / beta[2]
     )
-    cross = kbb.T @ b_th / beta[0]  # (nd, k)  == B' Kblk B_th / b
+
+    # theta coupling: K B_th, then B' (K B_th) and B_th' (K B_th).
+    kbth = np.stack(
+        [kinv[q] @ jth[:, q, :] for q in range(d)]
+    )  # (d, n, k)
+    cross = np.concatenate(
+        [
+            sum(j0[:, q, p][:, None] * kbth[q] for q in range(d))
+            - mphi[p].T @ kbth[p]
+            for p in range(d)
+        ],
+        axis=0,
+    ) / beta[0]  # (nd, k)
     prec[:nd, nd : nd + k] += cross
     prec[nd : nd + k, :nd] += cross.T
-    ptt = b_th.T @ kb @ b_th / beta[0]
+    ptt = sum(jth[:, q, :].T @ kbth[q] for q in range(d)) / beta[0]
     prec[nd : nd + k, nd : nd + k] += ptt
     if not target.sigma_is_fixed:
-        nobs = mask.sum(axis=0).astype(np.float64)
-        prec[nd + k :, nd + k :] = np.diag(2.0 * nobs / beta[2] + 1.0)
+        prec[nd + k :, nd + k :] = np.diag(2.0 * cache["nobs"] / beta[2] + 1.0)
 
     # Weak unit-scale addition on the theta block: flat theta directions
     # (no GN curvature) get z-scale 1 instead of exploding, while
@@ -185,6 +224,100 @@ def build_psi_whitener(
     )
 
 
+def _dense_free_solve(damped: np.ndarray, g: np.ndarray, free_idx):
+    """Reduced Newton step on the free coordinates, dense path."""
+    step = np.zeros(g.shape[0])
+    chol = _robust_chol(damped[np.ix_(free_idx, free_idx)])
+    step[free_idx] = _cho_solve(chol, g[free_idx])
+    return step
+
+
+def _banded_schur_solve(
+    damped: np.ndarray,
+    g: np.ndarray,
+    n: int,
+    d: int,
+    bandsize: int,
+    free_mask: np.ndarray,
+):
+    """Newton step exploiting the x-block's band structure.
+
+    In time-major ordering (index i*D + p) the x block of the GN precision
+    is banded: every term is a product of <=3 banded matrices of band
+    ``bandsize`` scaled by diagonals, so couplings vanish beyond 3*bandsize
+    time steps -> permuted lower bandwidth D*3*bandsize + (D-1). A banded
+    Cholesky is O(nD bw^2) instead of O((nD)^3); the small free trailing
+    block (theta, log sigma) is folded in by a Schur complement. Raises
+    ``np.linalg.LinAlgError`` (caller falls back to the dense path) if
+    scipy is unavailable or the banded factorization fails.
+    """
+    try:
+        from scipy.linalg import cho_solve_banded, cholesky_banded
+    except ImportError as e:  # pragma: no cover
+        raise np.linalg.LinAlgError(str(e))
+
+    nd = n * d
+    dim = damped.shape[0]
+    tail_idx = nd + np.where(free_mask[nd:])[0]
+    m = len(tail_idx)
+
+    perm = np.arange(nd).reshape(d, n).T.reshape(-1)  # new a -> old p*n+i
+    axx = damped[:nd, :nd][np.ix_(perm, perm)]
+    bw = min(nd - 1, 3 * bandsize * d + (d - 1))
+    ab = np.zeros((bw + 1, nd))
+    for r in range(bw + 1):
+        ab[r, : nd - r] = np.diagonal(axx, offset=-r)
+    chol_b = cholesky_banded(ab, lower=True)  # LinAlgError if not SPD
+
+    inv_perm = np.empty(nd, dtype=np.int64)
+    inv_perm[perm] = np.arange(nd)
+
+    def solve_x(rhs):
+        y = cho_solve_banded((chol_b, True), rhs[perm])
+        return y[inv_perm]
+
+    gx = g[:nd]
+    y0 = solve_x(gx)
+    step = np.zeros(dim)
+    if m == 0:
+        step[:nd] = y0
+        return step
+    c = damped[:nd, tail_idx]  # (nd, m)
+    y_c = np.column_stack([solve_x(c[:, j]) for j in range(m)])
+    schur = damped[np.ix_(tail_idx, tail_idx)] - c.T @ y_c
+    schur = 0.5 * (schur + schur.T)
+    chol_s = np.linalg.cholesky(schur)  # LinAlgError propagates to caller
+    step_s = _cho_solve(chol_s, g[tail_idx] - c.T @ y0)
+    step[:nd] = y0 - y_c @ step_s
+    step[tail_idx] = step_s
+    return step
+
+
+def _newton_step(
+    damped: np.ndarray,
+    g: np.ndarray,
+    n: int,
+    d: int,
+    bandsize: int,
+    free_mask: np.ndarray,
+):
+    """Reduced Newton step over the free coordinates: banded+Schur when all
+    x coordinates are free (the normal and sigma-frozen cases), a tiny
+    dense solve when only the trailing block is free (the theta-only
+    pre-stage), dense robust fallback otherwise."""
+    nd = n * d
+    x_free = free_mask[:nd]
+    free_idx = np.where(free_mask)[0]
+    if not x_free.any():
+        return _dense_free_solve(damped, g, free_idx)
+    if x_free.all():
+        try:
+            return _banded_schur_solve(damped, g, n, d, bandsize, free_mask)
+        except np.linalg.LinAlgError:
+            pass
+    return _dense_free_solve(damped, g, free_idx)
+
+
 def gauss_newton_map(
     vg,
     gp_cov,
@@ -213,17 +346,21 @@ def gauss_newton_map(
     v_start = v
     lam = 0.0  # Levenberg damping (relative to the precision's diag scale)
     it = -1
+    cache = make_precision_cache(gp_cov, yobs, target, prior_temperature)
+    n_, d_ = cache["n"], cache["d"]
+    # Frozen coordinates (slice or boolean mask) stay at their init: log
+    # sigma (the sigma-inflated degenerate mode otherwise captures the
+    # Newton flow) or everything-but-theta (the theta-only pre-stage in
+    # solve.py). The step solves the REDUCED system on the free block.
+    free_mask = np.ones(psi.shape[0], dtype=bool)
+    if freeze is not None:
+        free_mask[freeze] = False
     for it in range(n_newton):
-        prec = build_precision(gp_cov, yobs, target, psi, prior_temperature)
+        prec = build_precision(
+            gp_cov, yobs, target, psi, prior_temperature, cache=cache
+        )
         diag_scale = float(np.median(np.diag(prec)))
         g_np = np.asarray(g, dtype=np.float64)
-        if freeze is not None:
-            # Keep frozen coordinates at their init (slice or boolean
-            # mask): log sigma (the sigma-inflated degenerate mode
-            # otherwise captures the Newton flow) or everything-but-theta
-            # (the theta-only pre-stage in solve.py).
-            g_np = g_np.copy()
-            g_np[freeze] = 0.0
 
         # Levenberg-Marquardt: far from the mode the pure GN step can be so
         # large that no backtracking fraction improves (measured at n=397);
@@ -234,11 +371,9 @@ def gauss_newton_map(
             damped = prec
             if lam > 0:
                 damped = prec + lam * diag_scale * np.eye(prec.shape[0])
-            chol = _robust_chol(damped)
-            step = _cho_solve(chol, g_np)
-            if freeze is not None:
-                step = step.copy()
-                step[freeze] = 0.0
+            step = _newton_step(
+                damped, g_np, n_, d_, cache["bandsize"], free_mask
+            )
             alpha = 1.0
             for _ in range(20):
                 cand = psi + alpha * step
