@@ -168,6 +168,17 @@ def run_config(idx: int, seed: int) -> dict:
     out["ess_per_sec"] = round(out["ess_min"] / dt, 3)
     d = res.diagnostics
     out["grad_evals"] = float(d["gradient_evals"])
+    # Sampler-health extras (frozen-chain / collapsed-step-size forensics).
+    if "accept_prob" in d:
+        out["accept_mean"] = round(float(np.mean(d["accept_prob"])), 3)
+    if "step_size" in d:
+        eps = np.atleast_1d(np.asarray(d["step_size"], dtype=np.float64))
+        out["step_size_med"] = float(f"{np.median(eps):.3g}")
+        out["step_size_min"] = float(f"{np.min(eps):.3g}")
+    if "tree_depth" in d:
+        out["tree_depth_mean"] = round(float(np.mean(d["tree_depth"])), 2)
+    if "n_divergent" in d:
+        out["n_divergent"] = int(d["n_divergent"])
     if "swap_acceptance" in d:
         out["swap_acceptance"] = round(float(d["swap_acceptance"]), 3)
         out["swap_acceptance_per_pair"] = [

@@ -15,9 +15,13 @@ batches over chains with vmap:
   instead of throwing — deliberately better than the reference's
   assert-on--Inf (samplers.jl:58-60; SURVEY.md section 7.4).
 
-Kinetic energy uses a diagonal metric: K(p) = 0.5 p^T diag(inv_mass) p with
-momenta drawn p ~ N(0, diag(1/inv_mass)) — DiagEuclideanMetric parity
-(samplers.jl:144).
+Kinetic energy uses a diagonal metric by default: K(p) = 0.5 p^T
+diag(inv_mass) p with momenta drawn p ~ N(0, diag(1/inv_mass)) —
+DiagEuclideanMetric parity (samplers.jl:144). Every metric-touching op also
+accepts a ``DenseMetric`` (full M^-1 + its Cholesky), used by the
+cross-chain pooled dense adaptation in parallel/chains.py — a TPU-native
+extension with no reference counterpart (the batched (C, dim) @ (dim, dim)
+momentum products ride the MXU).
 """
 from __future__ import annotations
 
@@ -41,6 +45,33 @@ from .adapt import (
 )
 
 MAX_DELTA_ENERGY = 1000.0  # Stan's divergence threshold
+
+
+class DenseMetric(NamedTuple):
+    """Full inverse-mass metric: M^-1 and chol(M^-1) (lower).
+
+    Momenta are N(0, M) with M = (L L^T)^-1 for L = chol_minv, drawn as
+    p = L^-T z. A plain (dim,) array everywhere a metric is accepted means
+    the diagonal metric (static dispatch at trace time)."""
+
+    minv: jnp.ndarray       # (dim, dim)
+    chol_minv: jnp.ndarray  # (dim, dim) lower
+
+
+def _minv_mv(inv_mass, p):
+    """M^-1 p for either metric representation."""
+    if isinstance(inv_mass, DenseMetric):
+        return inv_mass.minv @ p
+    return inv_mass * p
+
+
+def _draw_momentum(key, q, inv_mass):
+    z = jax.random.normal(key, q.shape, q.dtype)
+    if isinstance(inv_mass, DenseMetric):
+        return jax.scipy.linalg.solve_triangular(
+            inv_mass.chol_minv.T, z, lower=False
+        )
+    return z / jnp.sqrt(inv_mass)
 
 
 class Tree(NamedTuple):
@@ -73,12 +104,12 @@ class NutsStats(NamedTuple):
 
 
 def _kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass)
+    return 0.5 * jnp.dot(p, _minv_mv(inv_mass, p))
 
 
 def _leapfrog(vg, q, p, grad, eps, inv_mass):
     p_half = p + 0.5 * eps * grad
-    q_new = q + eps * inv_mass * p_half
+    q_new = q + eps * _minv_mv(inv_mass, p_half)
     logp_new, grad_new = vg(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return q_new, p_new, logp_new, grad_new
@@ -88,8 +119,8 @@ def _is_turning(p_left, p_right, rho, inv_mass):
     """Generalized no-U-turn criterion with boundary-momentum correction
     (Betancourt; Stan/numpyro variant)."""
     rho_c = rho - 0.5 * (p_left + p_right)
-    t_left = jnp.dot(inv_mass * p_left, rho_c) <= 0.0
-    t_right = jnp.dot(inv_mass * p_right, rho_c) <= 0.0
+    t_left = jnp.dot(_minv_mv(inv_mass, p_left), rho_c) <= 0.0
+    t_right = jnp.dot(_minv_mv(inv_mass, p_right), rho_c) <= 0.0
     return t_left | t_right
 
 
@@ -257,7 +288,7 @@ def nuts_transition(
     per-transition statistics."""
     dtype = q.dtype
     key_mom, key_loop = jax.random.split(key)
-    p0 = jax.random.normal(key_mom, q.shape, dtype) / jnp.sqrt(inv_mass)
+    p0 = _draw_momentum(key_mom, q, inv_mass)
     h0 = -logp + _kinetic(p0, inv_mass)
 
     init_tree = Tree(
@@ -432,6 +463,55 @@ def make_warmup_step(vg, target_accept: float, max_depth: int, adapt_mass: bool)
         return new_carry, stats.diverging
 
     return warmup_step
+
+
+def make_warmup_step_pooled(vg, target_accept: float, max_depth: int):
+    """Scan body for warmup under a SHARED dense metric (cross-chain pooled
+    adaptation, parallel/chains.py). The metric is a traced argument — the
+    host updates it between window-aligned chunks without retracing — so
+    the in-scan adaptation only runs dual averaging (restarted at window
+    ends); positions are emitted for the host-side covariance pooling."""
+
+    def warmup_step(carry: WarmupCarry, xs, metric: DenseMetric):
+        in_win, win_end = xs
+        chain = carry.chain
+        dtype = chain.q.dtype
+        key, k_step = jax.random.split(chain.key)
+        eps = jnp.exp(carry.da.log_eps).astype(dtype)
+        q, logp, grad, stats = nuts_transition(
+            vg, chain.q, chain.logp, chain.grad, k_step, eps, metric,
+            max_depth=max_depth,
+        )
+        da = da_update(carry.da, stats.accept_prob, target_accept)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(win_end, a, b), da_restart(da), da
+        )
+        new_carry = WarmupCarry(
+            chain=ChainState(q=q, logp=logp, grad=grad, key=key),
+            da=da, welford=carry.welford, inv_mass=carry.inv_mass,
+        )
+        return new_carry, (q, stats.diverging)
+
+    return warmup_step
+
+
+def make_sample_step_pooled(vg, max_depth: int):
+    """Post-warmup scan body under a shared dense metric (traced arg)."""
+
+    def sample_step(carry: SampleCarry, _, metric: DenseMetric):
+        chain = carry.chain
+        key, k_step = jax.random.split(chain.key)
+        q, logp, grad, stats = nuts_transition(
+            vg, chain.q, chain.logp, chain.grad, k_step, carry.eps,
+            metric, max_depth=max_depth,
+        )
+        new = SampleCarry(
+            chain=ChainState(q=q, logp=logp, grad=grad, key=key),
+            eps=carry.eps, inv_mass=carry.inv_mass,
+        )
+        return new, (q, logp, stats)
+
+    return sample_step
 
 
 def make_sample_step(vg, max_depth: int):

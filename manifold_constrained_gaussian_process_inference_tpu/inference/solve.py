@@ -616,6 +616,7 @@ def solve_magi(
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
                 checkpoint_path=config.checkpoint_path,
+                mass_matrix=config.mass_matrix,
             )
         else:
             raise MagiError(f"unknown sampler '{config.sampler}'")

@@ -34,10 +34,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..inference.adapt import build_window_schedule
 from ..inference.nuts import (
+    DenseMetric,
     SampleCarry,
     init_warmup_carry,
     make_sample_step,
+    make_sample_step_pooled,
     make_warmup_step,
+    make_warmup_step_pooled,
 )
 
 logger = logging.getLogger(__name__)
@@ -55,6 +58,52 @@ def _chunk_lengths(total: int, chunk: int):
     return out
 
 
+def _window_aligned_chunks(window_end: np.ndarray, chunk: int):
+    """Chunk lengths for warmup that end exactly at every adaptation-window
+    boundary (so the host can update the pooled metric there), further split
+    by ``chunk`` within long windows."""
+    bounds = sorted(set(np.where(window_end)[0] + 1) | {len(window_end)})
+    out = []
+    prev = 0
+    for b in bounds:
+        if b > prev:
+            out.extend(_chunk_lengths(b - prev, chunk))
+            prev = b
+    return out
+
+
+def _pooled_dense_metric(
+    window_qs, in_win_mask, dim, dtype, prev: DenseMetric
+) -> DenseMetric:
+    """Cross-chain pooled covariance -> regularized dense M^-1 + Cholesky.
+
+    Pools every in-window draw from ALL chains (C x window samples of a
+    (dim,)-vector), applies Stan's shrinkage toward a small identity, and
+    falls back to the previous metric if the estimate is not usable (e.g.
+    a window too short for any rank)."""
+    qs = np.concatenate(window_qs, axis=1)          # (C, L, dim) float64
+    keep = np.concatenate(in_win_mask)              # (L,)
+    flat = qs[:, keep, :].reshape(-1, dim).astype(np.float64)
+    n_s = flat.shape[0]
+    if n_s < 5:
+        return prev
+    cov = np.cov(flat, rowvar=False)
+    w = n_s / (n_s + 5.0)
+    reg = w * cov + (1e-3 * (5.0 / (n_s + 5.0))) * np.eye(dim)
+    try:
+        chol = np.linalg.cholesky(reg)
+    except np.linalg.LinAlgError:
+        reg = reg + 1e-6 * np.trace(reg) / dim * np.eye(dim)
+        try:
+            chol = np.linalg.cholesky(reg)
+        except np.linalg.LinAlgError:
+            return prev
+    return DenseMetric(
+        minv=jnp.asarray(reg, dtype=dtype),
+        chol_minv=jnp.asarray(chol, dtype=dtype),
+    )
+
+
 def run_chains(
     vg: Callable,
     psi0: jnp.ndarray,   # (C, dim)
@@ -69,6 +118,7 @@ def run_chains(
     chunk_size: int = 1000,
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
+    mass_matrix: str = "diag",
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
     (samples (C, S, dim) numpy, info dict with a leading chain axis).
@@ -76,7 +126,23 @@ def run_chains(
     ``checkpoint_path``: when set, a SamplerCheckpoint (positions, adapted
     step sizes/metrics, PRNG keys) is written after every sampling chunk —
     a preempted run resumes with inference.checkpoint.run_chains_resumed
-    without repeating warmup."""
+    without repeating warmup.
+
+    ``mass_matrix``: "diag" = per-chain diagonal Welford adaptation (Stan
+    parity); "dense-pooled" = one SHARED dense metric estimated from the
+    pooled in-window draws of ALL chains at every adaptation-window
+    boundary — the chain batch acts as the estimator (a TPU-native
+    extension: C chains x window draws give a usable dim x dim estimate no
+    single chain could learn; the metric enters the compiled programs as a
+    traced argument, so the host-side updates never retrace)."""
+    if mass_matrix == "dense-pooled":
+        return _run_chains_pooled(
+            vg, psi0, keys, n_samples, n_adapts, initial_step_size,
+            target_accept, max_depth, mesh, chunk_size, progress,
+            checkpoint_path,
+        )
+    if mass_matrix != "diag":
+        raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
     n_chains, dim = psi0.shape
     n_keep = n_samples - n_adapts
     dtype = psi0.dtype
@@ -193,6 +259,162 @@ def run_chains(
         "energy": cat(e_chunks),
         "step_size": np.asarray(eps_final),
         "inv_mass": np.asarray(inv_mass_final),
+        "warmup_diverging": cat(warmup_div_chunks),
+        "final_psi": np.asarray(scarry.chain.q),
+        "final_key": np.asarray(scarry.chain.key),
+    }
+    return samples, info
+
+
+def _run_chains_pooled(
+    vg, psi0, keys, n_samples, n_adapts, initial_step_size,
+    target_accept, max_depth, mesh, chunk_size, progress, checkpoint_path,
+):
+    """run_chains with the cross-chain pooled dense metric (see run_chains
+    docstring). Warmup chunks are aligned to adaptation-window boundaries;
+    at each boundary the host pools the window's draws from all chains into
+    a regularized dense covariance and swaps it into the (unchanged)
+    compiled programs as a traced argument."""
+    n_chains, dim = psi0.shape
+    n_keep = n_samples - n_adapts
+    dtype = psi0.dtype
+
+    def wrap(f, n_mapped):
+        """vmap over chains for the first n_mapped args; remaining args
+        (the shared metric) are broadcast; then (optionally) shard."""
+        in_axes = tuple([0] * n_mapped + [None])
+        batched = jax.vmap(f, in_axes=in_axes)
+        if mesh is None:
+            return jax.jit(batched)
+        (axis_name,) = mesh.axis_names
+        n_dev = mesh.devices.size
+        if n_chains % n_dev != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be a multiple of mesh size {n_dev}"
+            )
+        in_specs = tuple([P(axis_name)] * n_mapped + [P()])
+        return jax.jit(
+            jax.shard_map(
+                batched, mesh=mesh, in_specs=in_specs,
+                out_specs=P(axis_name), check_vma=False,
+            )
+        )
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(CHAIN_AXIS))
+        psi0 = jax.device_put(psi0, sharding)
+        keys = jax.device_put(keys, sharding)
+
+    eye = jnp.eye(dim, dtype=dtype)
+    metric = DenseMetric(minv=eye, chol_minv=eye)
+
+    init = wrap(
+        lambda q0, k, _m: init_warmup_carry(vg, q0, k, initial_step_size),
+        2,
+    )
+    carry = init(psi0, keys, metric)
+
+    warmup_step = make_warmup_step_pooled(vg, target_accept, max_depth)
+
+    def warmup_chunk(carry, iw, we, m):
+        return jax.lax.scan(
+            lambda c, x: warmup_step(c, x, m), carry, (iw, we)
+        )
+
+    in_window, window_end = build_window_schedule(n_adapts)
+    warmup_div_chunks = []
+    window_qs, window_mask = [], []
+    pos = 0
+    t0 = time.time()
+    chunks = _window_aligned_chunks(window_end, chunk_size)
+    compiled_warmup = {}
+    for length in chunks:
+        iw = jnp.asarray(np.tile(in_window[pos : pos + length], (n_chains, 1)))
+        we = jnp.asarray(np.tile(window_end[pos : pos + length], (n_chains, 1)))
+        if length not in compiled_warmup:
+            compiled_warmup[length] = wrap(warmup_chunk, 3)
+        carry, (qs, div) = compiled_warmup[length](carry, iw, we, metric)
+        warmup_div_chunks.append(np.asarray(div))
+        window_qs.append(np.asarray(qs))
+        window_mask.append(in_window[pos : pos + length])
+        pos += length
+        if window_end[pos - 1]:
+            metric = _pooled_dense_metric(
+                window_qs, window_mask, dim, dtype, metric
+            )
+            window_qs, window_mask = [], []
+        if progress:
+            logger.info(
+                "warmup %d/%d (%.1fs, pooled dense metric)",
+                pos, n_adapts, time.time() - t0,
+            )
+
+    eps_final = jnp.exp(carry.da.log_eps_avg).astype(dtype)
+
+    sample_step = make_sample_step_pooled(vg, max_depth)
+
+    def sample_chunk(carry, m, length):
+        return jax.lax.scan(
+            lambda c, x: sample_step(c, x, m), carry, None, length=length
+        )
+
+    scarry = SampleCarry(
+        chain=carry.chain, eps=eps_final, inv_mass=carry.inv_mass
+    )
+    sample_chunks = []
+    lp_chunks, acc_chunks, leap_chunks, depth_chunks, div_chunks, e_chunks = (
+        [], [], [], [], [], []
+    )
+    compiled_sample = {}
+    pos = 0
+    for length in _chunk_lengths(n_keep, chunk_size):
+        if length not in compiled_sample:
+            compiled_sample[length] = wrap(
+                partial(sample_chunk, length=length), 1
+            )
+        scarry, (qs, lps, stats) = compiled_sample[length](scarry, metric)
+        sample_chunks.append(np.asarray(qs))
+        lp_chunks.append(np.asarray(lps))
+        acc_chunks.append(np.asarray(stats.accept_prob))
+        leap_chunks.append(np.asarray(stats.num_leapfrog))
+        depth_chunks.append(np.asarray(stats.tree_depth))
+        div_chunks.append(np.asarray(stats.diverging))
+        e_chunks.append(np.asarray(stats.energy))
+        pos += length
+        if checkpoint_path:
+            from ..inference.checkpoint import SamplerCheckpoint, save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                SamplerCheckpoint(
+                    psi=np.asarray(scarry.chain.q),
+                    step_size=np.atleast_1d(np.asarray(eps_final)),
+                    inv_mass=np.asarray(metric.minv),
+                    key=np.asarray(scarry.chain.key),
+                    n_samples_drawn=n_chains * pos,
+                    meta={"metric": "dense-pooled"},
+                ),
+            )
+        if progress:
+            logger.info(
+                "sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0
+            )
+
+    cat = lambda parts: (
+        np.concatenate(parts, axis=1)
+        if parts else np.zeros((n_chains, 0))
+    )
+    samples = cat(sample_chunks)
+    info = {
+        "lp": cat(lp_chunks),
+        "accept_prob": cat(acc_chunks),
+        "num_leapfrog": cat(leap_chunks),
+        "tree_depth": cat(depth_chunks),
+        "diverging": cat(div_chunks),
+        "energy": cat(e_chunks),
+        "step_size": np.asarray(eps_final),
+        "inv_mass": np.asarray(metric.minv),
+        "metric": "dense-pooled",
         "warmup_diverging": cat(warmup_div_chunks),
         "final_psi": np.asarray(scarry.chain.q),
         "final_key": np.asarray(scarry.chain.key),

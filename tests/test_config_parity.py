@@ -54,3 +54,4 @@ def test_tpu_extension_defaults_are_reference_neutral():
     assert c.theta_constrained is False
     assert c.gp_mean is None
     assert c.chain_init_jitter == 0.0
+    assert c.mass_matrix == "diag"  # Stan/AdvancedHMC DiagEuclideanMetric
