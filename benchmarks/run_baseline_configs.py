@@ -154,6 +154,10 @@ def run_config(idx: int, seed: int) -> dict:
             # on the manifold (0.5 strands chains ~14 Mahalanobis units
             # off it -> frozen chains, R-hat ~1e3; measured).
             theta_constrained=True, chain_init_jitter=0.05,
+            # Cross-chain pooled dense metric: the diag metric crawls along
+            # the theta_b ridge (ESS = n_chains, R-hat in the hundreds;
+            # measured — see BENCHMARKS.md config-5 diagnosis).
+            mass_matrix="dense-pooled",
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)

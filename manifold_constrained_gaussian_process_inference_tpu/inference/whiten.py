@@ -403,6 +403,11 @@ def gauss_newton_map(
             1.0 + np.linalg.norm(psi)
         ):
             break
+        if it % 25 == 0:
+            logger.debug(
+                "GN it %d: lp %.6g lam %.3g alpha %.3g gain %.3g",
+                it, v, lam, alpha, gain,
+            )
     logger.info(
         "Gauss-Newton MAP: log-posterior %.4g -> %.4g (%d iterations)",
         v_start, v, it + 1,

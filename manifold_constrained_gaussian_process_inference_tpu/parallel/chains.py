@@ -88,6 +88,18 @@ def _pooled_dense_metric(
     if n_s < 5:
         return prev
     cov = np.cov(flat, rowvar=False)
+    # Degenerate-window guard: if the chains barely moved this window (all
+    # variances far below the ~unit whitened scale), the pooled covariance
+    # measures the FREEZE, not the posterior — adopting it shrinks the
+    # metric, which shrinks the steps further (measured death spiral on
+    # the TPU f32 n=397 workload: eps -> 1e-8). Keep the previous metric
+    # and let dual averaging recover instead.
+    if float(np.median(np.diag(cov))) < 1e-2:
+        logger.warning(
+            "pooled dense metric: window variance degenerate (median diag "
+            "%.2e); keeping previous metric.", float(np.median(np.diag(cov))),
+        )
+        return prev
     w = n_s / (n_s + 5.0)
     reg = w * cov + (1e-3 * (5.0 / (n_s + 5.0))) * np.eye(dim)
     try:
