@@ -20,5 +20,6 @@ from .whiten import (  # noqa: F401
     PsiWhitener,
     build_psi_whitener,
     gauss_newton_map,
+    make_centered_whitened_vg,
     wrap_value_and_grad,
 )

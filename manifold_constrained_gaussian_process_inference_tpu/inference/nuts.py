@@ -61,7 +61,10 @@ class DenseMetric(NamedTuple):
 def _minv_mv(inv_mass, p):
     """M^-1 p for either metric representation."""
     if isinstance(inv_mass, DenseMetric):
-        return inv_mass.minv @ p
+        # Full f32: TPU bf16 matmul noise perturbs trajectories/energies.
+        return jnp.matmul(
+            inv_mass.minv, p, precision=jax.lax.Precision.HIGHEST
+        )
     return inv_mass * p
 
 
@@ -103,8 +106,15 @@ class NutsStats(NamedTuple):
     step_size: jnp.ndarray
 
 
+def _hdot(a, b):
+    """Full-f32 vector dot: with |H| ~ dim/2 the default bf16 multiply
+    passes put O(1) noise on kinetic energies — enough to wreck the
+    acceptance statistic dual averaging consumes."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _kinetic(p, inv_mass):
-    return 0.5 * jnp.dot(p, _minv_mv(inv_mass, p))
+    return 0.5 * _hdot(p, _minv_mv(inv_mass, p))
 
 
 def _leapfrog(vg, q, p, grad, eps, inv_mass):
@@ -119,8 +129,8 @@ def _is_turning(p_left, p_right, rho, inv_mass):
     """Generalized no-U-turn criterion with boundary-momentum correction
     (Betancourt; Stan/numpyro variant)."""
     rho_c = rho - 0.5 * (p_left + p_right)
-    t_left = jnp.dot(_minv_mv(inv_mass, p_left), rho_c) <= 0.0
-    t_right = jnp.dot(_minv_mv(inv_mass, p_right), rho_c) <= 0.0
+    t_left = _hdot(_minv_mv(inv_mass, p_left), rho_c) <= 0.0
+    t_right = _hdot(_minv_mv(inv_mass, p_right), rho_c) <= 0.0
     return t_left | t_right
 
 

@@ -421,7 +421,7 @@ def solve_magi(
         from .whiten import (
             build_psi_whitener,
             gauss_newton_map,
-            wrap_value_and_grad,
+            make_centered_whitened_vg,
         )
 
         # Adam stalls far from the mode (curvature spans ~6 orders of
@@ -511,7 +511,11 @@ def solve_magi(
         whitener = build_psi_whitener(
             gp_cov_map, y_obs, target, psi0, prior_temps, dtype
         )
-        vg = wrap_value_and_grad(vg, whitener)
+        # Mode-centered evaluation (not the generic wrap): kills the f32
+        # cancellation noise of |mphi| * x products that otherwise
+        # collapses adapted step sizes on dense grids (whiten.py
+        # make_centered_whitened_vg; measured 1e-5 -> healthy eps).
+        vg = make_centered_whitened_vg(target, whitener)
         psi0 = np.zeros(target.dimension)
         logger.info("Psi whitening enabled (Gauss-Newton Laplace at mode)")
 

@@ -434,14 +434,74 @@ def _cho_solve(chol: np.ndarray, rhs: np.ndarray) -> np.ndarray:
 
 
 
+def make_centered_whitened_vg(target, whitener: PsiWhitener):
+    """Fused whitened value-and-grad with the x block evaluated
+    MODE-CENTERED: dx = (W zeta)_x is used directly (never psi - center),
+    and the center's operator products are float64 host constants
+    (ops/likelihood.CenteredTerms). Mathematically identical to
+    wrap_value_and_grad(target.value_and_grad_fn(), whitener); in float32
+    it removes the |mphi| * eps_f32 cancellation noise that collapses raw
+    NUTS step sizes on dense grids (measured: see CenteredTerms)."""
+    import jax
+
+    from ..ops.likelihood import (
+        log_posterior_centered,
+        make_centered_terms,
+    )
+    from .target import LOG_SIGMA_CLAMP
+
+    n, d, k = target.n_times, target.n_dims, target.n_params_ode
+    nd = n * d
+    center = whitener.center
+    x_ref = np.asarray(center[:nd], dtype=np.float64).reshape(d, n).T
+    cent = make_centered_terms(target.data, x_ref, target.bandwidth)
+    data, system = target.data, target.system
+    sigma_fixed = target.sigma_init
+    fixed = target.sigma_is_fixed
+    transform = target.theta_transform
+    bandwidth, use_pallas = target.bandwidth, target.use_pallas
+    w_mat = whitener.W
+
+    def logdensity_z(zeta):
+        # Full-f32 precision: bf16 matmul noise here feeds the operators.
+        dpsi = jnp.matmul(w_mat, zeta, precision=jax.lax.Precision.HIGHEST)
+        dx = dpsi[:nd].reshape(d, n).T
+        theta = center[nd : nd + k] + dpsi[nd : nd + k]
+        jac = jnp.zeros((), dtype=zeta.dtype)
+        if transform is not None:
+            from .transforms import constrain
+
+            theta, theta_jac = constrain(transform, theta)
+            jac = jac + theta_jac
+        if fixed:
+            sigma = sigma_fixed
+        else:
+            clamped = jnp.clip(
+                center[nd + k :] + dpsi[nd + k :],
+                -LOG_SIGMA_CLAMP, LOG_SIGMA_CLAMP,
+            )
+            sigma = jnp.exp(clamped)
+            jac = jac + jnp.sum(clamped)
+        ll = log_posterior_centered(
+            dx, theta, sigma, data, cent, system.f, bandwidth, use_pallas
+        )
+        return ll + jac
+
+    return jax.value_and_grad(logdensity_z)
+
+
 def wrap_value_and_grad(vg, whitener: PsiWhitener):
     """vg over psi -> vg over zeta (psi = center + W zeta). Gradient by the
     chain rule: g_zeta = W' g_psi (one extra matvec each way)."""
 
+    import jax
+
     def vg_zeta(zeta):
-        psi = whitener.center + whitener.W @ zeta
+        # Full-f32 precision: bf16 matmul noise breaks step-size adaptation.
+        hi = jax.lax.Precision.HIGHEST
+        psi = whitener.center + jnp.matmul(whitener.W, zeta, precision=hi)
         value, g_psi = vg(psi)
-        return value, whitener.W.T @ g_psi
+        return value, jnp.matmul(whitener.W.T, g_psi, precision=hi)
 
     return vg_zeta
 

@@ -33,6 +33,16 @@ from .gp_cov import GPCov
 
 LOG_2PI = float(np.log(2.0 * np.pi))
 
+# TPU matmul units compute f32 contractions in bfloat16 passes by default
+# (relative error ~4e-3). The GP operators have entries ~1/dt^2 (up to
+# ~1e3-1e4 on dense grids) feeding quadratic forms scaled by ~1/jitter, so
+# default-precision einsums inject O(10) ENERGY noise into the sampler —
+# measured as adapted step sizes collapsing to 1e-5-1e-7 on the TPU while
+# the same f32 program on CPU (true-f32 matmuls) adapts healthily. Every
+# likelihood contraction therefore requests full f32 precision; these ops
+# are HBM-bound at sampling batch sizes, so the extra passes are ~free.
+HIGHEST = jax.lax.Precision.HIGHEST
+
 
 class LikelihoodData(NamedTuple):
     """Static device data for the likelihood (everything except x/theta/sigma).
@@ -150,13 +160,13 @@ def log_posterior(
     # Batched band matvecs: out[i, d] = sum_j A[d, i, j] v[j, d]. mphi and
     # GCt both act on xc — one fused (2D)-batched einsum.
     xc2 = jnp.concatenate([xc, xc], axis=1)  # (n, 2D)
-    fused = jnp.einsum("dij,jd->id", data.mphi_gct, xc2)  # (n, 2D)
+    fused = jnp.einsum("dij,jd->id", data.mphi_gct, xc2, precision=HIGHEST)  # (n, 2D)
     mphi_x = fused[:, :d_dims]
     gc_x = fused[:, d_dims:]
     e_deriv = f - data.dotmu - mphi_x
     # Quadratic forms as sums of squares via the banded factors (see
     # LikelihoodData docstring): e' Kinv e = ||GKt e||^2, x' Cinv x = ||GCt x||^2.
-    gk_e = jnp.einsum("dij,jd->id", data.GKt, e_deriv)
+    gk_e = jnp.einsum("dij,jd->id", data.GKt, e_deriv, precision=HIGHEST)
 
     # Observation term (NaN-masked; -0.5 N_d log(2 pi sigma_d^2) only when
     # the dimension has observations — likelihoods.jl:139-143).
@@ -279,6 +289,136 @@ def log_posterior_banded(
     ) * (data.nobs > 0)
     ll_deriv = -0.5 * jnp.sum(gk_e * gk_e, axis=1)
     ll_level = -0.5 * jnp.sum(gc_x * gc_x, axis=1)
+
+    return (
+        jnp.sum(ll_obs) / beta_obs
+        + jnp.sum(ll_deriv) / beta_deriv
+        + jnp.sum(ll_level) / beta_level
+    )
+
+
+class CenteredTerms(NamedTuple):
+    """Host-precomputed constants for the mode-centered evaluation.
+
+    Float32 kills raw whitened NUTS on dense grids: mphi is a
+    differentiation operator (entries ~1/dt^2, up to ~1e3 on the FN
+    filllevel grids), so mphi @ x on an O(1) state carries ~|mphi|*eps_f32
+    ~ 1e-4 absolute cancellation noise, which GKt (scale ~ sqrt(1/jitter))
+    amplifies into O(1) ENERGY noise — dual averaging then drives the step
+    size to ~1e-5 chasing phantom rejections (measured: CPU f64 n=397
+    adapts eps 5.7e-2; TPU f32 same workload adapts 1e-5 - 1e-7).
+
+    Centering fixes the arithmetic, not the math: with dx = x - x_ref and
+    the x_ref parts precomputed in float64 FROM THE SAME (upcast f32)
+    operators, every on-device product sees only the small dx, so the
+    noise scales with |dx| ~ posterior width instead of |x| ~ 1. All
+    fields are (n, D) in the data dtype.
+    """
+
+    x_ref: jnp.ndarray   # the centering state (whitener center's x block)
+    r_ref: jnp.ndarray   # x_ref - yobs_filled
+    c_e: jnp.ndarray     # dotmu + mphi (x_ref - mu)
+    c_gc: jnp.ndarray    # GCt (x_ref - mu)
+
+
+def _band_storage_matvec_np(bs: np.ndarray, x: np.ndarray, b: int) -> np.ndarray:
+    """Float64 host evaluation of the band-storage matvec (ops/band.py
+    semantics): out[i] = sum_k bs[b+k, i+k] * x[i+k]."""
+    n = x.shape[0]
+    out = np.zeros(n)
+    for k in range(-b, b + 1):
+        lo, hi = max(0, -k), min(n, n - k)
+        out[lo:hi] += bs[b + k, lo + k : hi + k] * x[lo + k : hi + k]
+    return out
+
+
+def make_centered_terms(data, x_ref, bandwidth: int = 0) -> CenteredTerms:
+    """Precompute the x_ref-dependent constants in float64 on the host,
+    from the data's OWN (upcast) operators — the result is the exact
+    infinite-precision evaluation of the stored f32 operators, so the
+    centered value is the same function of Psi as the uncentered one."""
+    xr = np.asarray(x_ref, dtype=np.float64)
+    mu = np.asarray(data.mu, dtype=np.float64)
+    dotmu = np.asarray(data.dotmu, dtype=np.float64)
+    xc = xr - mu
+    if isinstance(data, BandedLikelihoodData):
+        b = bandwidth
+        d = xr.shape[1]
+        mphi64 = np.asarray(data.mphi_bs, dtype=np.float64)
+        gct64 = np.asarray(data.GCt_bs, dtype=np.float64)
+        c_mphi = np.stack(
+            [_band_storage_matvec_np(mphi64[p], xc[:, p], b) for p in range(d)],
+            axis=-1,
+        )
+        c_gc = np.stack(
+            [_band_storage_matvec_np(gct64[p], xc[:, p], b) for p in range(d)],
+            axis=-1,
+        )
+    else:
+        mphi64 = np.asarray(data.mphi, dtype=np.float64)
+        gct64 = np.asarray(data.GCt, dtype=np.float64)
+        c_mphi = np.einsum("dij,jd->id", mphi64, xc)
+        c_gc = np.einsum("dij,jd->id", gct64, xc)
+    dtype = data.mask.dtype
+    j = lambda a: jnp.asarray(a, dtype=dtype)
+    return CenteredTerms(
+        x_ref=j(xr),
+        r_ref=j(xr - np.asarray(data.yobs_filled, dtype=np.float64)),
+        c_e=j(dotmu + c_mphi),
+        c_gc=j(c_gc),
+    )
+
+
+def log_posterior_centered(
+    dx: jnp.ndarray,
+    theta: jnp.ndarray,
+    sigma: jnp.ndarray,
+    data,
+    cent: CenteredTerms,
+    ode_f: Callable,
+    bandwidth: int = 0,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """log_posterior evaluated mode-centered: identical math to
+    log_posterior / log_posterior_banded at x = x_ref + dx, but every
+    on-device operator product consumes only dx (see CenteredTerms)."""
+    beta_deriv, beta_level, beta_obs = data.beta[0], data.beta[1], data.beta[2]
+    sigma_sq = sigma * sigma
+    d_dims = dx.shape[1]
+
+    f = ode_f(cent.x_ref + dx, theta, data.tvec)  # (n, D)
+
+    if isinstance(data, BandedLikelihoodData):
+        from .pallas_band import band_matvec
+
+        dxt = dx.T  # (D, n)
+        mphi_dx = band_matvec(
+            data.mphi_bs, data.mphi_t_bs, dxt, bandwidth, use_pallas
+        )
+        e = (f - cent.c_e).T - mphi_dx                   # (D, n)
+        gk_e = band_matvec(data.GKt_bs, data.GK_bs, e, bandwidth, use_pallas)
+        gct_dx = band_matvec(
+            data.GCt_bs, data.GC_bs, dxt, bandwidth, use_pallas
+        )
+        gc = cent.c_gc.T + gct_dx
+        ll_deriv = -0.5 * jnp.sum(gk_e * gk_e, axis=1)
+        ll_level = -0.5 * jnp.sum(gc * gc, axis=1)
+    else:
+        dx2 = jnp.concatenate([dx, dx], axis=1)          # (n, 2D)
+        fused = jnp.einsum("dij,jd->id", data.mphi_gct, dx2, precision=HIGHEST)
+        mphi_dx = fused[:, :d_dims]
+        gct_dx = fused[:, d_dims:]
+        e = f - cent.c_e - mphi_dx
+        gk_e = jnp.einsum("dij,jd->id", data.GKt, e, precision=HIGHEST)
+        gc = cent.c_gc + gct_dx
+        ll_deriv = -0.5 * jnp.sum(gk_e * gk_e, axis=0)
+        ll_level = -0.5 * jnp.sum(gc * gc, axis=0)
+
+    resid = data.mask * (dx + cent.r_ref)
+    sse = jnp.sum(resid * resid, axis=0)
+    ll_obs = -0.5 * sse / sigma_sq - 0.5 * data.nobs * (
+        LOG_2PI + jnp.log(sigma_sq)
+    ) * (data.nobs > 0)
 
     return (
         jnp.sum(ll_obs) / beta_obs
