@@ -53,6 +53,8 @@ def checkpoint_from_result(result, samples_per_chain: Optional[np.ndarray] = Non
 
 
 def save_checkpoint(path: str, ckpt: SamplerCheckpoint) -> None:
+    import json
+
     np.savez(
         path,
         psi=ckpt.psi,
@@ -60,17 +62,22 @@ def save_checkpoint(path: str, ckpt: SamplerCheckpoint) -> None:
         inv_mass=ckpt.inv_mass,
         key=ckpt.key,
         n_samples_drawn=np.asarray(ckpt.n_samples_drawn),
+        meta=np.asarray(json.dumps(ckpt.meta) if ckpt.meta else ""),
     )
 
 
 def load_checkpoint(path: str) -> SamplerCheckpoint:
+    import json
+
     with np.load(path) as z:
+        meta_raw = str(z["meta"]) if "meta" in z else ""
         return SamplerCheckpoint(
             psi=z["psi"],
             step_size=z["step_size"],
             inv_mass=z["inv_mass"],
             key=z["key"].astype(np.uint32),
             n_samples_drawn=int(z["n_samples_drawn"]),
+            meta=json.loads(meta_raw) if meta_raw else None,
         )
 
 
@@ -82,9 +89,11 @@ def run_chains_resumed(
     dtype=None,
 ):
     """Continue sampling from a checkpoint: no warmup, frozen step size and
-    metric (Stan's post-warmup semantics). Returns (samples (C, S, dim),
-    info, new_checkpoint)."""
-    from .nuts import ChainState, nuts_transition
+    metric (Stan's post-warmup semantics). Handles both the per-chain
+    diagonal metric and the shared dense-pooled metric (meta
+    {"metric": "dense-pooled"}, inv_mass saved as the (dim, dim) M^-1).
+    Returns (samples (C, S, dim), info, new_checkpoint)."""
+    from .nuts import ChainState, DenseMetric, nuts_transition
 
     if dtype is None:
         from ..config import default_dtype
@@ -93,7 +102,17 @@ def run_chains_resumed(
 
     psi = jnp.asarray(ckpt.psi, dtype)
     eps = jnp.asarray(ckpt.step_size, dtype)
-    inv_mass = jnp.asarray(ckpt.inv_mass, dtype)
+    dense = bool(ckpt.meta) and ckpt.meta.get("metric") == "dense-pooled"
+    if dense:
+        minv64 = np.asarray(ckpt.inv_mass, dtype=np.float64)
+        inv_mass = DenseMetric(
+            minv=jnp.asarray(minv64, dtype),
+            chol_minv=jnp.asarray(np.linalg.cholesky(minv64), dtype),
+        )
+        metric_axis = None
+    else:
+        inv_mass = jnp.asarray(ckpt.inv_mass, dtype)
+        metric_axis = 0
     keys = jnp.asarray(ckpt.key)
 
     def one_chain(q0, key, eps_c, inv_mass_c):
@@ -113,9 +132,9 @@ def run_chains_resumed(
         )
         return qs, lps, stats, final.q, final.key
 
-    qs, lps, stats, final_q, final_key = jax.jit(jax.vmap(one_chain))(
-        psi, keys, eps, inv_mass
-    )
+    qs, lps, stats, final_q, final_key = jax.jit(
+        jax.vmap(one_chain, in_axes=(0, 0, 0, metric_axis))
+    )(psi, keys, eps, inv_mass)
     info = {
         "lp": lps,
         "accept_prob": stats.accept_prob,
@@ -124,12 +143,12 @@ def run_chains_resumed(
         "diverging": stats.diverging,
         "energy": stats.energy,
         "step_size": eps,
-        "inv_mass": inv_mass,
+        "inv_mass": inv_mass.minv if dense else inv_mass,
     }
     new_ckpt = SamplerCheckpoint(
         psi=np.asarray(final_q),
         step_size=np.asarray(eps),
-        inv_mass=np.asarray(inv_mass),
+        inv_mass=np.asarray(inv_mass.minv if dense else inv_mass),
         key=np.asarray(final_key),
         n_samples_drawn=ckpt.n_samples_drawn + int(qs.shape[0] * qs.shape[1]),
         meta=ckpt.meta,

@@ -126,3 +126,32 @@ def test_nan_guard_passthrough():
     v, g = jax.jit(vg)(jnp.ones(3))
     assert np.isclose(float(v), -1.5)
     assert np.allclose(np.asarray(g), -np.ones(3))
+
+
+def test_resume_dense_pooled_metric(tmp_path):
+    """A dense-pooled run's checkpoint resumes with the SHARED dense metric
+    (meta-tagged (dim, dim) M^-1) and keeps sampling the right target."""
+    rng = np.random.default_rng(0)
+    a = np.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(a))
+    vg = jax.value_and_grad(lambda q: -0.5 * q @ prec @ q)
+    n_chains = 4
+    psi0 = jnp.asarray(rng.normal(size=(n_chains, 2)) * 0.1)
+    keys = jax.random.split(jax.random.PRNGKey(2), n_chains)
+    ckpt_path = str(tmp_path / "ck_dense.npz")
+    samples, info = run_chains(
+        vg, psi0, keys, n_samples=500, n_adapts=300,
+        mass_matrix="dense-pooled", checkpoint_path=ckpt_path,
+    )
+    ck = load_checkpoint(ckpt_path)
+    assert ck.meta == {"metric": "dense-pooled"}
+    assert ck.inv_mass.shape == (2, 2)
+
+    s1, info1, ck2 = run_chains_resumed(vg, ck, n_samples=600)
+    assert s1.shape == (n_chains, 600, 2)
+    flat = np.asarray(s1).reshape(-1, 2)
+    assert np.all(np.isfinite(flat))
+    # resumed draws still target the correlated Gaussian
+    assert abs(np.corrcoef(flat.T)[0, 1] - 0.9) < 0.12
+    assert ck2.inv_mass.shape == (2, 2)
+    assert ck2.n_samples_drawn == ck.n_samples_drawn + n_chains * 600
