@@ -101,14 +101,16 @@ class MagiConfig:
     # swap statistics across replicas.
     pt_replicas: int = 1
     dtype: Optional[jnp.dtype] = None
-    # Metric adaptation for sampler='nuts': "diag" = per-chain diagonal
-    # Welford (Stan parity); "dense-pooled" = one shared dense metric
-    # estimated from the pooled in-window draws of ALL chains at every
-    # adaptation-window boundary (parallel/chains.py). The chain batch acts
-    # as the estimator: C chains x window draws resolve the posterior's
-    # correlation structure (e.g. the weakly-identified theta_b ridge of
-    # the FN posterior) that no per-chain diagonal can, cutting tree-depth
-    # saturation. Needs n_chains x window >> a usable sample size.
+    # Metric adaptation for sampler='nuts' and 'pt-nuts': "diag" =
+    # per-chain/per-rung diagonal Welford (Stan parity); "dense-pooled" =
+    # shared dense metric(s) estimated from pooled in-window draws at every
+    # adaptation-window boundary (parallel/chains.py for chains;
+    # tempering.py pools across replicas per rung). The batch acts as the
+    # estimator: pooled draws resolve the posterior's correlation structure
+    # (e.g. the weakly-identified theta_b ridge of the FN posterior) that
+    # no per-chain diagonal can, cutting tree-depth saturation. Estimates
+    # shrink toward the identity (the whitened unit scale) with weight
+    # n_samples/(n_samples + dim), so thin windows stay safe.
     mass_matrix: str = "diag"
     # Hot-path memory layout: "auto" picks dense einsums for moderate grids
     # and the band-storage path (Pallas kernel on TPU) for large ones.

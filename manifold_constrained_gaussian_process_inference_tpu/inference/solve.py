@@ -586,6 +586,7 @@ def solve_magi(
                 ladder_adapt=config.pt_ladder_adapt,
                 checkpoint_path=config.checkpoint_path,
                 n_replicas=n_rep,
+                mass_matrix=config.mass_matrix,
             )
             # normalize info to the (C, S) layout of run_chains; the cold
             # (T=1) rung of each replica is one posterior chain.

@@ -119,9 +119,17 @@ class PTCarry(NamedTuple):
 
 
 def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
-                  max_depth: int, adapt: bool):
+                  max_depth: int, adapt: bool, pooled: bool = False,
+                  emit_all: bool = False):
     """One PT iteration: K tempered NUTS transitions + one swap sweep
-    (deterministic even-odd — the non-reversible DEO scheme)."""
+    (deterministic even-odd — the non-reversible DEO scheme).
+
+    ``pooled``: the step takes a per-rung DenseMetric stack ((K, dim, dim)
+    leaves) as a third, traced argument — the host updates it between
+    window-aligned chunks (cross-replica pooled estimation) with no
+    retrace; in-scan metric adaptation is disabled. ``emit_all`` makes the
+    step emit ALL rung positions (the pooling input) instead of the cold
+    rung's."""
 
     def transition_one(q, lp_b, g_b, key, eps, im, inv_t):
         def vg_t(qq):
@@ -136,7 +144,7 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
 
     v_transition = jax.vmap(transition_one)
 
-    def pt_step(carry: PTCarry, xs):
+    def pt_step(carry: PTCarry, xs, metric=None):
         in_win, win_end = xs if adapt else (None, None)
         inv_temps = carry.inv_temps
         key, k_step, k_swap = jax.random.split(carry.key, 3)
@@ -146,7 +154,7 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
 
         qs, lp, grads, stats = v_transition(
             carry.qs, carry.lp, carry.grads, step_keys, eps,
-            carry.inv_mass, inv_temps,
+            metric if pooled else carry.inv_mass, inv_temps,
         )
 
         # --- swap sweep: even pairs on even iterations, odd pairs on odd ---
@@ -177,19 +185,20 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
             da = jax.vmap(
                 lambda d, a: da_update(d, a, target_accept)
             )(da, stats.accept_prob)
-            updated = jax.vmap(welford_update)(welford, qs)
-            welford = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_win, a, b), updated, welford
-            )
-            new_inv_mass = jax.vmap(welford_variance_regularized)(welford)
-            inv_mass = jnp.where(win_end, new_inv_mass, inv_mass)
-            dim = qs.shape[1]
-            fresh = jax.vmap(lambda _: welford_init(dim, qs.dtype))(
-                jnp.arange(k_temps)
-            )
-            welford = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(win_end, a, b), fresh, welford
-            )
+            if not pooled:
+                updated = jax.vmap(welford_update)(welford, qs)
+                welford = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(in_win, a, b), updated, welford
+                )
+                new_inv_mass = jax.vmap(welford_variance_regularized)(welford)
+                inv_mass = jnp.where(win_end, new_inv_mass, inv_mass)
+                dim = qs.shape[1]
+                fresh = jax.vmap(lambda _: welford_init(dim, qs.dtype))(
+                    jnp.arange(k_temps)
+                )
+                welford = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(win_end, a, b), fresh, welford
+                )
             da = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(win_end, a, b),
                 jax.vmap(da_restart)(da), da,
@@ -201,7 +210,10 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
             n_swap_accept=n_acc, n_swap_try=n_try,
             iteration=carry.iteration + 1,
         )
-        out = (qs[0], lp[0], stats.diverging, stats.num_leapfrog)
+        out = (
+            qs if emit_all else qs[0],
+            lp[0], stats.diverging, stats.num_leapfrog,
+        )
         return new, out
 
     return pt_step
@@ -229,6 +241,7 @@ def run_parallel_tempering(
     ladder_adapt: bool = True,
     checkpoint_path=None,
     n_replicas: int = 1,
+    mass_matrix: str = "diag",
 ):
     """PT-NUTS. Returns (samples from the T=1 chain(s), info): samples are
     (S, dim) when ``n_replicas == 1`` (default), else (R, S, dim) — R
@@ -288,20 +301,48 @@ def run_parallel_tempering(
     # PT step vmapped over it (per-iteration adaptation flags are shared).
     carry = jax.vmap(one_replica_carry)(psi0s, lp0s, g0s, keys)
 
+    pooled = mass_matrix == "dense-pooled"
+    if mass_matrix not in ("diag", "dense-pooled"):
+        raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
+    metric = None
+    if pooled:
+        from .nuts import DenseMetric
+
+        eye = jnp.broadcast_to(
+            jnp.eye(dim, dtype=dtype), (k_temps, dim, dim)
+        )
+        metric = DenseMetric(minv=eye, chol_minv=eye)
+
     in_window, window_end = build_window_schedule(n_adapts)
     warm_step = jax.vmap(
-        _make_pt_step(vg, k_temps, target_accept, max_depth, True),
-        in_axes=(0, None),
+        _make_pt_step(
+            vg, k_temps, target_accept, max_depth, True,
+            pooled=pooled, emit_all=pooled,
+        ),
+        in_axes=((0, None, None) if pooled else (0, None)),
     )
     sample_step = jax.vmap(
-        _make_pt_step(vg, k_temps, target_accept, max_depth, False),
-        in_axes=(0, None),
+        _make_pt_step(
+            vg, k_temps, target_accept, max_depth, False, pooled=pooled
+        ),
+        in_axes=((0, None, None) if pooled else (0, None)),
     )
 
     compiled = {}
 
-    def run_chunk(carry, step, flags, length, tag):
+    def run_chunk(carry, step, flags, length, tag, metric_=None):
         key_ = (tag, length)
+        if pooled:
+            if key_ not in compiled:
+                compiled[key_] = jax.jit(
+                    partial(
+                        lambda c, f, m, s: lax.scan(
+                            lambda cc, x: s(cc, x, m), c, f
+                        ),
+                        s=step,
+                    )
+                )
+            return compiled[key_](carry, flags, metric_)
         if key_ not in compiled:
             compiled[key_] = jax.jit(
                 partial(lambda c, f, s: lax.scan(s, c, f), s=step)
@@ -318,16 +359,57 @@ def run_parallel_tempering(
     # per pair to act (adapt_ladder min_tries), i.e. >= ~20 iterations.
     ladder_freeze_at = int(0.75 * n_adapts)
     adapt_seg = max(50, n_adapts // 10) if ladder_adapt else n_adapts
+    we_bounds = np.where(window_end)[0] + 1  # pooled-metric update points
+    win_qs, win_mask = [], []
     while pos < n_adapts:
         limit = ladder_freeze_at if pos < ladder_freeze_at else n_adapts
         length = min(chunk_size, adapt_seg, limit - pos)
+        if pooled:
+            nxt = we_bounds[we_bounds > pos]
+            if nxt.size:
+                length = min(length, int(nxt[0]) - pos)
         flags = (
             jnp.asarray(in_window[pos : pos + length]),
             jnp.asarray(window_end[pos : pos + length]),
         )
-        carry, (q0s, lp0s_, div, _) = run_chunk(carry, warm_step, flags, length, "w")
+        carry, (q0s, lp0s_, div, _) = run_chunk(
+            carry, warm_step, flags, length, "w", metric
+        )
         warm_div.append(np.asarray(div))
+        if pooled:
+            # q0s is (L, R, K, dim) in pooled warmup (emit_all).
+            win_qs.append(np.asarray(q0s))
+            win_mask.append(in_window[pos : pos + length])
         pos += length
+        if pooled and window_end[pos - 1]:
+            from ..parallel.chains import pooled_dense_metric_from_samples
+            from .nuts import DenseMetric
+
+            buf = np.concatenate(win_qs, axis=0)        # (Lw, R, K, dim)
+            keep = np.concatenate(win_mask)
+            buf = buf[keep]
+            prev_minv = np.asarray(metric.minv)
+            minvs, chols = [], []
+            for k_i in range(k_temps):
+                flat = buf[:, :, k_i, :].reshape(-1, dim).astype(np.float64)
+                prev_k = DenseMetric(
+                    minv=jnp.asarray(prev_minv[k_i], dtype),
+                    chol_minv=jnp.asarray(
+                        np.linalg.cholesky(
+                            np.asarray(prev_minv[k_i], dtype=np.float64)
+                        ),
+                        dtype,
+                    ),
+                )
+                m_k = pooled_dense_metric_from_samples(
+                    flat, dim, dtype, prev_k
+                )
+                minvs.append(m_k.minv)
+                chols.append(m_k.chol_minv)
+            metric = DenseMetric(
+                minv=jnp.stack(minvs), chol_minv=jnp.stack(chols)
+            )
+            win_qs, win_mask = [], []
         if ladder_adapt and pos <= ladder_freeze_at:
             old = np.asarray(carry.inv_temps, dtype=np.float64)[0]
             new = adapt_ladder(
@@ -361,7 +443,7 @@ def run_parallel_tempering(
         length = min(chunk_size, n_keep - pos)
         flags = (jnp.zeros(length, bool), jnp.zeros(length, bool))
         carry, (qs, lp0s_, div, leap) = run_chunk(
-            carry, sample_step, flags, length, "s"
+            carry, sample_step, flags, length, "s", metric
         )
         samples.append(np.asarray(qs))
         lps.append(np.asarray(lp0s_))
@@ -370,12 +452,16 @@ def run_parallel_tempering(
         pos += length
         if checkpoint_path:
             save_pt_checkpoint(
-                checkpoint_path, pt_checkpoint(carry, n_samples_drawn=pos)
+                checkpoint_path,
+                pt_checkpoint(carry, n_samples_drawn=pos, metric=metric),
             )
         if progress:
             logger.info("PT sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0)
 
     info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
+    if pooled:
+        info["metric"] = "dense-pooled"
+        info["inv_mass"] = np.asarray(metric.minv)  # (K, dim, dim)
     out = (
         np.concatenate(samples)
         if samples else np.zeros((0, n_rep, dim))
@@ -428,13 +514,19 @@ def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
 # Checkpoint / resume (post-warmup; mirrors inference/checkpoint.py for NUTS)
 # ---------------------------------------------------------------------------
 
-def pt_checkpoint(carry: PTCarry, n_samples_drawn: int = 0) -> dict:
+def pt_checkpoint(carry: PTCarry, n_samples_drawn: int = 0, metric=None) -> dict:
     """Everything needed to continue PT sampling: full-ladder positions and
     untempered lp, per-rung step sizes/metrics, the adapted ladder, swap
     counters, sweep parity, and the PRNG key. Single-ladder checkpoints
     store ladder-shaped arrays (back-compatible); replicated runs store a
-    leading replica axis (qs.ndim == 3)."""
+    leading replica axis (qs.ndim == 3). A pooled dense metric (shared
+    across replicas) is stored as metric_minv (K, dim, dim)."""
     sq = _squeeze_rep
+    if metric is not None:
+        return dict(
+            metric_minv=np.asarray(metric.minv),
+            **pt_checkpoint(carry, n_samples_drawn),
+        )
     return dict(
         qs=sq(carry.qs),
         lp=sq(carry.lp),
@@ -523,18 +615,44 @@ def run_parallel_tempering_resumed(
             n_rep, k_temps
         )[0]
     )
+    pooled = "metric_minv" in ckpt
+    metric = None
+    if pooled:
+        from .nuts import DenseMetric
+
+        minv64 = np.asarray(ckpt["metric_minv"], dtype=np.float64)
+        metric = DenseMetric(
+            minv=jnp.asarray(minv64, dtype),
+            chol_minv=jnp.asarray(
+                np.stack([np.linalg.cholesky(m) for m in minv64]), dtype
+            ),
+        )
     sample_step = jax.vmap(
-        _make_pt_step(vg, k_temps, target_accept, max_depth, False),
-        in_axes=(0, None),
+        _make_pt_step(
+            vg, k_temps, target_accept, max_depth, False, pooled=pooled
+        ),
+        in_axes=((0, None, None) if pooled else (0, None)),
     )
 
     compiled = {}
 
     def run_chunk(carry, flags, length):
         if length not in compiled:
-            compiled[length] = jax.jit(
-                partial(lambda c, f, s: lax.scan(s, c, f), s=sample_step)
-            )
+            if pooled:
+                compiled[length] = jax.jit(
+                    partial(
+                        lambda c, f, m, s: lax.scan(
+                            lambda cc, x: s(cc, x, m), c, f
+                        ),
+                        s=sample_step,
+                    )
+                )
+            else:
+                compiled[length] = jax.jit(
+                    partial(lambda c, f, s: lax.scan(s, c, f), s=sample_step)
+                )
+        if pooled:
+            return compiled[length](carry, flags, metric)
         return compiled[length](carry, flags)
 
     t0 = time.time()
@@ -553,7 +671,7 @@ def run_parallel_tempering_resumed(
         if checkpoint_path:
             save_pt_checkpoint(
                 checkpoint_path,
-                pt_checkpoint(carry, n_samples_drawn=drawn0 + pos),
+                pt_checkpoint(carry, n_samples_drawn=drawn0 + pos, metric=metric),
             )
         if progress:
             logger.info(
@@ -562,7 +680,7 @@ def run_parallel_tempering_resumed(
             )
 
     info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
-    new_ckpt = pt_checkpoint(carry, n_samples_drawn=drawn0 + n_samples)
+    new_ckpt = pt_checkpoint(carry, n_samples_drawn=drawn0 + n_samples, metric=metric)
     out = (
         np.concatenate(samples)
         if samples else np.zeros((0, n_rep, dim))

@@ -78,12 +78,22 @@ def _pooled_dense_metric(
     """Cross-chain pooled covariance -> regularized dense M^-1 + Cholesky.
 
     Pools every in-window draw from ALL chains (C x window samples of a
-    (dim,)-vector), applies Stan's shrinkage toward a small identity, and
-    falls back to the previous metric if the estimate is not usable (e.g.
-    a window too short for any rank)."""
+    (dim,)-vector), shrinks toward the IDENTITY with weight n_s/(n_s+dim)
+    — in whitened coordinates the prior scale is ~1 by construction, so
+    directions the window has not explored (rank-deficient pooled
+    covariance when n_s < dim) keep unit mass instead of collapsing to the
+    ridge term — and falls back to the previous metric if the estimate is
+    not usable."""
     qs = np.concatenate(window_qs, axis=1)          # (C, L, dim) float64
     keep = np.concatenate(in_win_mask)              # (L,)
     flat = qs[:, keep, :].reshape(-1, dim).astype(np.float64)
+    return pooled_dense_metric_from_samples(flat, dim, dtype, prev)
+
+
+def pooled_dense_metric_from_samples(
+    flat: np.ndarray, dim: int, dtype, prev: DenseMetric
+) -> DenseMetric:
+    """Core pooled-covariance -> DenseMetric estimator (float64 host)."""
     n_s = flat.shape[0]
     if n_s < 5:
         return prev
@@ -100,8 +110,8 @@ def _pooled_dense_metric(
             "%.2e); keeping previous metric.", float(np.median(np.diag(cov))),
         )
         return prev
-    w = n_s / (n_s + 5.0)
-    reg = w * cov + (1e-3 * (5.0 / (n_s + 5.0))) * np.eye(dim)
+    w = n_s / (n_s + dim)
+    reg = w * cov + (1.0 - w) * np.eye(dim)
     try:
         chol = np.linalg.cholesky(reg)
     except np.linalg.LinAlgError:
