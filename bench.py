@@ -159,6 +159,10 @@ def bench_production(host, n_iters=3000, seed=42):
         # at beta_obs=5 once PT swaps actually work).
         theta_constrained=True,
         seed=seed,
+        # Full-precision contractions lengthen each device call ~3x; the
+        # remote worker crashes on multi-minute single executions — bound
+        # them (measured: chunk 1000 crashed the worker on this workload).
+        chunk_size=250,
     )
     t0 = time.perf_counter()
     res = solve_magi(host["y"], host["t"], FN_SYSTEM, config)
@@ -214,13 +218,13 @@ def bench_nuts_ess(target, psi0, n_chains=16, n_samples=600, n_adapts=300):
 
     # compile (excluded from timing)
     s, _ = run_chains(vg, psi0s, keys, n_samples=4, n_adapts=2,
-                      initial_step_size=0.01)
+                      initial_step_size=0.01, chunk_size=100)
     np.asarray(s)
 
     t0 = time.perf_counter()
     samples, info = run_chains(
         vg, psi0s, keys, n_samples=n_samples, n_adapts=n_adapts,
-        initial_step_size=0.01, target_accept=0.8,
+        initial_step_size=0.01, target_accept=0.8, chunk_size=100,
     )
     samples = np.asarray(samples)
     dt = time.perf_counter() - t0

@@ -96,6 +96,10 @@ def run_config(idx: int, seed: int) -> dict:
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="pt-nuts", x_whitened=True, theta_constrained=True,
             pt_replicas=4,  # 4 independent ladders -> real split-R-hat
+            # Full-precision matmuls lengthen each device call ~3x; the
+            # remote worker crashes on multi-minute single executions —
+            # bound them (measured: chunk 1000 crashed the worker here).
+            chunk_size=250,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
@@ -113,6 +117,7 @@ def run_config(idx: int, seed: int) -> dict:
             sigma=np.array([NOISE_SD] * 3),
             map_init_iterations=3000, map_init_lr=0.02,
             theta_constrained=True,
+            chunk_size=500,  # bound device-call length (see config 2 note)
         )
         res = magi.solve_magi(y, t_grid, HES1LOG_FIXF_SYSTEM, cfg)
         out = theta_metrics(res, THETA_TRUE_FIXF)
