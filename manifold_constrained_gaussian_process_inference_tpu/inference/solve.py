@@ -468,11 +468,17 @@ def solve_magi(
                 stages[0], freeze=theta_freeze, n_newton=50,
                 warn_on_cap=False,
             )
+            # Budget scales with the state dimension: at n=793 the damped
+            # iteration crawls ~2%/step under chronic Levenberg damping and
+            # needs ~450 iterations to the mode (measured; the stall-stop
+            # in gauss_newton_map ends the stage once gains die out, so the
+            # larger cap only costs time when it is actually converging).
+            budget = 200 if n_times * n_dims <= 1000 else 600
             for stage_temps in stages:
                 vg_stage, target_stage = make_target_vg(stage_temps)
                 psi = gauss_newton_map(
                     vg_stage, gp_cov_for_map, y_obs, target_stage, psi,
-                    stage_temps, freeze=freeze,
+                    stage_temps, freeze=freeze, n_newton=budget,
                 )
             return psi
 

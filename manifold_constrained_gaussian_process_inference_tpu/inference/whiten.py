@@ -355,6 +355,7 @@ def gauss_newton_map(
     free_mask = np.ones(psi.shape[0], dtype=bool)
     if freeze is not None:
         free_mask[freeze] = False
+    n_stalled = 0
     for it in range(n_newton):
         prec = build_precision(
             gp_cov, yobs, target, psi, prior_temperature, cache=cache
@@ -396,12 +397,21 @@ def gauss_newton_map(
             break
         # Converged: full undamped step accepted with negligible gain, or
         # an undamped accepted step is tiny. (Damped iterations take small
-        # steps by construction — they must not trigger the stop.)
+        # steps by construction — they must not trigger the stop outright;
+        # see the stall counter below.)
         if lam == 0.0 and alpha == 1.0 and gain < min_improvement:
             break
         if lam == 0.0 and np.linalg.norm(alpha * step) < tol * (
             1.0 + np.linalg.norm(psi)
         ):
+            break
+        # Stall stop under CHRONIC damping: on hard landscapes (n=793,
+        # measured) lam never relaxes and every step is fractional, so the
+        # undamped-stop above never fires even when the iteration is only
+        # polishing the last ~1 lp unit (gains decayed from ~1e6 to <0.05).
+        # Five consecutive sub-threshold gains ends the stage as converged.
+        n_stalled = n_stalled + 1 if gain < min_improvement else 0
+        if n_stalled >= 5:
             break
         if it % 25 == 0:
             logger.debug(
