@@ -420,6 +420,7 @@ def solve_magi(
     if config.x_whitened:
         from .whiten import (
             build_psi_whitener,
+            build_psi_whitener_exact,
             gauss_newton_map,
             make_centered_whitened_vg,
         )
@@ -514,9 +515,25 @@ def solve_magi(
                     return jax.jit(t_s.value_and_grad_fn()), t_s
 
                 psi0 = _gn_stages(make_target_vg, gp_cov_map, psi0)
-        whitener = build_psi_whitener(
-            gp_cov_map, y_obs, target, psi0, prior_temps, dtype
-        )
+        # Whitener from the EXACT Hessian at the mode (f64 replica target;
+        # GN drops residual-curvature terms that dominate on dense grids —
+        # build_psi_whitener_exact docstring has the measurements). Falls
+        # back to the GN precision if the Hessian pass fails.
+        with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+            target_h = MagiTarget.build(
+                y_obs, gp_cov_map, ode_system, sigma_init, prior_temps,
+                sigma_is_fixed, dtype=jnp.float64, band_impl="dense",
+                theta_transform=theta_transform, gp_mean=gp_mean,
+            )
+            try:
+                whitener = build_psi_whitener_exact(target_h, psi0, dtype)
+            except Exception:
+                logger.warning(
+                    "exact-Hessian whitener failed; using the GN precision."
+                )
+                whitener = build_psi_whitener(
+                    gp_cov_map, y_obs, target, psi0, prior_temps, dtype
+                )
         # Mode-centered evaluation (not the generic wrap): kills the f32
         # cancellation noise of |mphi| * x products that otherwise
         # collapses adapted step sizes on dense grids (whiten.py

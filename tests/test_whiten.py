@@ -159,3 +159,39 @@ def test_gn_map_converges_at_reference_protocol(caplog):
                            dtype=jnp.float64, band_impl="dense")
     v, _ = jax.jit(tgt.value_and_grad_fn())(jnp.asarray(psi))
     assert float(v) > -200.0  # mode region; the crawl regime sat at ~-3e3
+
+
+def test_exact_hessian_whitener_unit_scale(problem):
+    """The exact-Hessian whitener must produce ~unit whitened curvature at
+    the mode: lp(z) - lp(0) for |z_i| ~ 0.3 should be O(dim), NOT the
+    orders-of-magnitude cliff the GN whitener gives on dense grids (its
+    dropped residual-curvature term; build_psi_whitener_exact docstring)."""
+    from manifold_constrained_gaussian_process_inference_tpu.inference.whiten import (
+        build_psi_whitener_exact,
+        make_centered_whitened_vg,
+    )
+
+    y, cov, tgt, psi0 = problem
+    vg = jax.jit(tgt.value_and_grad_fn())
+    psi_m = gauss_newton_map(vg, cov, y, tgt, psi0, (1.0, 1.0, 1.0))
+    wh = build_psi_whitener_exact(tgt, psi_m, jnp.float64)
+    vgz = make_centered_whitened_vg(tgt, wh)
+    dim = psi_m.shape[0]
+    v0 = float(vgz(jnp.zeros(dim))[0])
+    rng = np.random.default_rng(7)
+    drops = []
+    for _ in range(4):
+        z = jnp.asarray(0.3 * rng.normal(size=dim))
+        drops.append(v0 - float(vgz(z)[0]))
+    # quadratic prediction at |z_i|=0.3 with unit curvature: ~0.045*dim;
+    # allow an order of magnitude for anharmonicity, but catch scale
+    # blowups (the GN failure mode is ~1e3-1e6 x off).
+    assert np.median(drops) < 10 * 0.045 * dim + 50, drops
+    # and the whitener is an exact reparameterization of the posterior
+    psi = np.asarray(wh.center) + np.asarray(wh.W) @ np.asarray(
+        0.1 * rng.normal(size=dim)
+    )
+    z_back = np.asarray(wh.L_T) @ (psi - np.asarray(wh.center))
+    v_z, _ = vgz(jnp.asarray(z_back))
+    v_psi, _ = vg(jnp.asarray(psi))
+    assert np.isclose(float(v_z), float(v_psi), rtol=1e-8)
