@@ -57,6 +57,12 @@ def log(*a):
 # is benchmarked separately (benchmarks/run_baseline_configs.py config 6).
 BETA = (1.0, 1.0, 1.0)
 
+# Seeds for the production stage (the headline is the median across them;
+# seed 7 is deliberately included — it was the round-2 outlier with 902
+# divergences and is the regression guard for the divergence-robust pooled
+# metric).
+PRODUCTION_SEEDS = (42, 7, 123)
+
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     import jax.numpy as jnp
@@ -194,7 +200,7 @@ def bench_production(host, n_iters=3000, seed=42):
     sigma_mean = res.sigma.mean(axis=0)
     theta_true = host["theta"]
     d = res.diagnostics
-    return dict(
+    out = dict(
         ess_min=float(np.nanmin(ess_vals)),
         rhat_max=float(np.nanmax(rhat_vals)),
         ess_per_sec=float(np.nanmin(ess_vals) / dt),
@@ -207,13 +213,18 @@ def bench_production(host, n_iters=3000, seed=42):
         sigma_rmse=float(np.sqrt(np.mean((sigma_mean - 0.2) ** 2))),
         theta_mean=[round(float(x), 4) for x in theta_mean],
         sigma_mean=[round(float(x), 4) for x in sigma_mean],
-        swap_acceptance=float(d.get("swap_acceptance", np.nan)),
-        swap_acceptance_per_pair=[
-            round(float(x), 3)
-            for x in np.atleast_1d(d.get("swap_acceptance_per_pair", [np.nan]))
-        ],
+        divergences=int(d["n_divergent"]),
         grad_evals=float(d["gradient_evals"]),
     )
+    # Swap statistics exist only for PT samplers; emitting them as NaN for
+    # plain NUTS made BENCH_r02.json non-strict JSON (VERDICT r2 item 5).
+    if "swap_acceptance" in d:
+        out["swap_acceptance"] = float(d["swap_acceptance"])
+        out["swap_acceptance_per_pair"] = [
+            round(float(x), 3)
+            for x in np.atleast_1d(d["swap_acceptance_per_pair"])
+        ]
+    return out
 
 
 def bench_nuts_ess(target, psi0, n_chains=16, n_samples=600, n_adapts=300):
@@ -382,7 +393,8 @@ def main():
 
     result = {
         "metric": (
-            "production min-theta ESS/sec, FN reference workload "
+            "production min-theta ESS/sec (median over seeds "
+            f"{list(PRODUCTION_SEEDS)}), FN reference workload "
             "(n=397, D=2, sigma sampled, default temperatures — the "
             "reference E2E test protocol)"
         ),
@@ -416,29 +428,63 @@ def main():
         log(f"NUTS stage failed: {type(e).__name__}: {e}")
         result["nuts_stage_error"] = f"{type(e).__name__}"
 
-    try:
-        prod = bench_production(host)
-        log(f"production stack: {prod}")
+    # Production stage over multiple seeds: a single-seed ESS/sec is a draw
+    # from a wide distribution (measured 25x min-ESS spread across seeds in
+    # round 2 — VERDICT r2 item 4). The headline is the MEDIAN across seeds;
+    # the min and per-seed rows are reported alongside.
+    prods = {}
+    for seed in PRODUCTION_SEEDS:
+        try:
+            prod = bench_production(host, seed=seed)
+            log(f"production stack (seed {seed}): {prod}")
+            prods[seed] = prod
+        except Exception as e:  # pragma: no cover
+            log(f"production stage (seed {seed}) failed: {type(e).__name__}: {e}")
+            result[f"production_stage_error_seed{seed}"] = f"{type(e).__name__}"
+
+    if prods:
+        rates = np.array([p["ess_per_sec"] for p in prods.values()])
+        med_seed = sorted(prods, key=lambda s: prods[s]["ess_per_sec"])[
+            (len(prods) - 1) // 2
+        ]
+        p_med = prods[med_seed]
         result.update(
-            value=round(prod["ess_per_sec"], 3),
-            ess_per_sec_sampling_only=round(prod["ess_per_sec_sampling"], 3),
-            production_ess_min=round(prod["ess_min"], 1),
-            production_rhat_max=round(prod["rhat_max"], 4),
-            production_total_time_s=round(prod["total_time_s"], 1),
-            production_theta_rmse=round(prod["theta_rmse"], 4),
-            production_sigma_rmse=round(prod["sigma_rmse"], 4),
-            production_theta_mean=prod["theta_mean"],
-            production_sigma_mean=prod["sigma_mean"],
-            swap_acceptance=round(prod["swap_acceptance"], 3),
-            swap_acceptance_per_pair=prod["swap_acceptance_per_pair"],
+            value=round(float(np.median(rates)), 3),
+            production_seeds=list(prods.keys()),
+            production_ess_per_sec_min=round(float(rates.min()), 3),
+            production_ess_per_sec_per_seed={
+                str(s): round(p["ess_per_sec"], 3) for s, p in prods.items()
+            },
+            production_divergences_per_seed={
+                str(s): p["divergences"] for s, p in prods.items()
+            },
+            ess_per_sec_sampling_only=round(p_med["ess_per_sec_sampling"], 3),
+            production_ess_min=round(
+                float(min(p["ess_min"] for p in prods.values())), 1
+            ),
+            production_rhat_max=round(
+                float(max(p["rhat_max"] for p in prods.values())), 4
+            ),
+            production_total_time_s=round(p_med["total_time_s"], 1),
+            production_theta_rmse=round(
+                float(max(p["theta_rmse"] for p in prods.values())), 4
+            ),
+            production_sigma_rmse=round(
+                float(max(p["sigma_rmse"] for p in prods.values())), 4
+            ),
+            production_theta_mean=p_med["theta_mean"],
+            production_sigma_mean=p_med["sigma_mean"],
         )
+        if "swap_acceptance" in p_med:
+            result["swap_acceptance"] = round(p_med["swap_acceptance"], 3)
+            result["swap_acceptance_per_pair"] = p_med[
+                "swap_acceptance_per_pair"
+            ]
         if ref_ess_per_sec:
             result["vs_baseline"] = round(
-                prod["ess_per_sec"] / ref_ess_per_sec, 1
+                float(np.median(rates)) / ref_ess_per_sec, 1
             )
-    except Exception as e:  # pragma: no cover
-        log(f"production stage failed: {type(e).__name__}: {e}")
-        result["production_stage_error"] = f"{type(e).__name__}"
+    else:
         # Degraded headline: fall back to the grad-rate metric so the
         # driver still records a number.
         result.update(
@@ -451,7 +497,19 @@ def main():
             vs_baseline=round(dev_rate / cpu_rate, 2),
         )
 
-    print(json.dumps(result))
+    print(json.dumps(_sanitize(result), allow_nan=False))
+
+
+def _sanitize(obj):
+    """Strict-JSON guard: non-finite floats become None (RFC 8259 has no
+    NaN/Infinity; BENCH_r02.json's literal NaN broke standard parsers)."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
 
 
 if __name__ == "__main__":

@@ -44,6 +44,9 @@ class MagiConfig:
     - ``target_accept_ratio`` <-> ``:targetAcceptRatio`` (default 0.8)
     - ``jitter``            <-> ``:jitter``            (default 1e-6)
     - ``gp_optim_iterations`` <-> ``:gpOptimIterations`` (default 100)
+    - ``gp_optim_ftol``     <-> ``:gpOptimFTol``       (default 1e-8)
+    - ``gp_optim_gtol``     <-> ``:gpOptimGTol``       (default 1e-8)
+    - ``gp_optim_show_trace`` <-> ``:gpOptimShowTrace`` (default False)
     - ``verbose``           <-> ``:verbose``
 
     TPU-native extensions (no reference counterpart):
@@ -68,6 +71,14 @@ class MagiConfig:
     target_accept_ratio: float = 0.8
     jitter: float = 1e-6
     gp_optim_iterations: int = 100
+    # L-BFGS convergence tolerances for the NLML hyperparameter init
+    # (Optim.jl semantics: relative objective change / gradient inf-norm;
+    # reference defaults, MagiJl.jl:266-271). The optimizer early-stops
+    # inside its fixed-length scan once either is met.
+    gp_optim_ftol: float = 1e-8
+    gp_optim_gtol: float = 1e-8
+    # Log per-iteration NLML values (reference :gpOptimShowTrace).
+    gp_optim_show_trace: bool = False
     verbose: bool = False
 
     # TPU-native extensions
@@ -130,9 +141,10 @@ class MagiConfig:
     chain_init_jitter: float = 0.0
     # When set, wraps sampling in jax.profiler.trace writing to this dir.
     profile_dir: Optional[str] = None
-    # When set (sampler='nuts' or 'pt-nuts'), a sampler checkpoint (.npz) is
-    # written after every sampling chunk for preemption-safe resume
-    # (inference/checkpoint.py; tempering.py pt_checkpoint for PT).
+    # When set, a sampler checkpoint (.npz) is written after every sampling
+    # chunk for preemption-safe resume: inference/checkpoint.py for 'nuts',
+    # tempering.py pt_checkpoint for 'pt-nuts', chees.py chees_checkpoint
+    # for 'chees' (run_chees_resumed continues the Halton sequence).
     checkpoint_path: Optional[str] = None
     # MAP warm start: Adam steps maximizing the fused log-posterior over
     # Psi before sampling (theta projected into bounds). 0 disables

@@ -296,6 +296,155 @@ def chees_refresh_mass(adapt: CheesAdaptState) -> CheesAdaptState:
     )
 
 
+def chees_checkpoint(
+    state: CheesState,
+    adapt: CheesAdaptState,
+    eps,
+    inv_mass,
+    traj_length,
+    n_samples_drawn: int = 0,
+):
+    """SamplerCheckpoint for ChEES (same contract as inference/checkpoint.py
+    for NUTS; the reference has no checkpointing at all — SURVEY.md §5.4).
+    Sampler-specific state rides in ``meta``: the adapted trajectory
+    length, the Halton iteration index (so the jitter sequence continues
+    where it stopped, not from scratch), and the trajectory-length Adam
+    state (m, v, count) so a mid-adaptation resume could continue the
+    ascent."""
+    from .checkpoint import SamplerCheckpoint
+
+    return SamplerCheckpoint(
+        psi=np.asarray(state.qs),
+        step_size=np.atleast_1d(np.asarray(eps)),
+        inv_mass=np.atleast_2d(np.asarray(inv_mass)),  # (1, dim): shared
+        key=np.atleast_2d(np.asarray(state.key)),
+        n_samples_drawn=int(n_samples_drawn),
+        meta={
+            "sampler": "chees",
+            "trajectory_length": float(traj_length),
+            "iteration": int(state.iteration),
+            "traj_adam_m": float(adapt.traj_adam_m),
+            "traj_adam_v": float(adapt.traj_adam_v),
+            "traj_count": float(adapt.traj_count),
+        },
+    )
+
+
+def run_chees_resumed(
+    vg: Callable,
+    ckpt,
+    n_samples: int,
+    chunk_size: int = 2000,
+    dtype=None,
+    checkpoint_path: str | None = None,
+    progress: bool = False,
+):
+    """Continue ChEES sampling from a checkpoint: frozen step size, metric
+    and trajectory length (post-warmup semantics), Halton sequence resumed
+    at the saved iteration index. Returns (samples (C, S, dim), info,
+    new_checkpoint) — the same contract as checkpoint.run_chains_resumed."""
+    import logging
+    import time as _time
+
+    logger = logging.getLogger(__name__)
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    if not (ckpt.meta and ckpt.meta.get("sampler") == "chees"):
+        raise ValueError("not a ChEES checkpoint (meta.sampler != 'chees')")
+
+    qs = jnp.asarray(ckpt.psi, dtype)
+    c, dim = qs.shape
+    eps = jnp.asarray(np.asarray(ckpt.step_size).reshape(()), dtype)
+    inv_mass = jnp.asarray(np.asarray(ckpt.inv_mass).reshape(dim), dtype)
+    traj = jnp.asarray(ckpt.meta["trajectory_length"], dtype)
+    key = jnp.asarray(
+        np.asarray(ckpt.key).astype(np.uint32).reshape(-1)[-2:]
+    )
+    vg_batched = jax.vmap(vg)
+    logps, grads = vg_batched(qs)
+    state = CheesState(
+        qs=qs, logps=logps, grads=grads, key=key,
+        iteration=jnp.int32(int(ckpt.meta.get("iteration", 0))),
+    )
+
+    def sample_chunk(state, length):
+        def step(state, _):
+            new_state, info = chees_transition(
+                vg_batched, state, eps, inv_mass, traj
+            )
+            return new_state, (new_state.qs, new_state.logps, info)
+
+        return lax.scan(step, state, None, length=length)
+
+    from functools import partial
+
+    compiled = {}
+    t0 = _time.time()
+    qs_parts, lp_parts, acc_parts, leap_parts, div_parts = [], [], [], [], []
+    pos = 0
+    drawn0 = int(ckpt.n_samples_drawn)
+    adapt_stub = CheesAdaptState(
+        da=da_init(eps),
+        traj_length=traj,
+        traj_adam_m=jnp.asarray(ckpt.meta.get("traj_adam_m", 0.0), dtype),
+        traj_adam_v=jnp.asarray(ckpt.meta.get("traj_adam_v", 0.0), dtype),
+        traj_count=jnp.asarray(ckpt.meta.get("traj_count", 0.0), dtype),
+        welford_count=jnp.zeros((), dtype),
+        welford_mean=jnp.zeros((dim,), dtype),
+        welford_m2=jnp.zeros((dim,), dtype),
+        inv_mass=inv_mass,
+        pc=jnp.full((dim,), 1.0 / np.sqrt(dim), dtype),
+    )
+    while pos < n_samples:
+        length = min(chunk_size, n_samples - pos)
+        if length not in compiled:
+            compiled[length] = jax.jit(partial(sample_chunk, length=length))
+        state, (qs_c, lps, info) = compiled[length](state)
+        qs_parts.append(np.asarray(jnp.swapaxes(qs_c, 0, 1)))
+        lp_parts.append(np.asarray(jnp.swapaxes(lps, 0, 1)))
+        acc_parts.append(np.asarray(jnp.swapaxes(info["accept_prob"], 0, 1)))
+        leap_parts.append(np.asarray(jnp.swapaxes(info["num_leapfrog"], 0, 1)))
+        div_parts.append(np.asarray(jnp.swapaxes(info["diverging"], 0, 1)))
+        pos += length
+        if checkpoint_path:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                chees_checkpoint(
+                    state, adapt_stub, eps, inv_mass, traj,
+                    n_samples_drawn=drawn0 + c * pos,
+                ),
+            )
+        if progress:
+            logger.info(
+                "chees resumed sampling %d/%d (%.1fs)",
+                pos, n_samples, _time.time() - t0,
+            )
+
+    samples = (
+        np.concatenate(qs_parts, axis=1) if qs_parts else np.zeros((c, 0, dim))
+    )
+    info_out = {
+        "lp": np.concatenate(lp_parts, axis=1),
+        "accept_prob": np.concatenate(acc_parts, axis=1),
+        "num_leapfrog": np.concatenate(leap_parts, axis=1),
+        "diverging": np.concatenate(div_parts, axis=1),
+        "step_size": np.asarray(eps),
+        "inv_mass": np.asarray(inv_mass),
+        "trajectory_length": float(traj),
+        "final_psi": np.asarray(state.qs),
+        "final_key": np.asarray(state.key),
+    }
+    new_ckpt = chees_checkpoint(
+        state, adapt_stub, eps, inv_mass, traj,
+        n_samples_drawn=drawn0 + c * n_samples,
+    )
+    return samples, info_out, new_ckpt
+
+
 def run_chees(
     vg: Callable,
     psi0: jnp.ndarray,   # (C, dim)
@@ -310,6 +459,7 @@ def run_chees(
     initial_traj_length: float | None = None,
     adapt_trajectory: bool = True,
     criterion: str = "snaper",
+    checkpoint_path: str | None = None,
 ):
     """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
     (single-device; the batched axis IS the chain axis). Returns
@@ -323,7 +473,10 @@ def run_chees(
     "chees" (squared-norm change, Hoffman et al. 2021 — collapses when
     bulk-direction noise swamps the slow direction, measured on the MAGI
     posterior). ``adapt_trajectory=False`` pins T at
-    ``initial_traj_length`` (robust fallback)."""
+    ``initial_traj_length`` (robust fallback). ``checkpoint_path``: a
+    SamplerCheckpoint (.npz) is written after every sampling chunk —
+    resume with ``run_chees_resumed`` (frozen eps/metric/trajectory,
+    Halton sequence continued)."""
     import logging
     import time as _time
 
@@ -419,6 +572,16 @@ def run_chees(
         leap_parts.append(np.asarray(jnp.swapaxes(info["num_leapfrog"], 0, 1)))
         div_parts.append(np.asarray(jnp.swapaxes(info["diverging"], 0, 1)))
         pos += length
+        if checkpoint_path:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                chees_checkpoint(
+                    state, adapt, eps_final, inv_mass_final, traj_final,
+                    n_samples_drawn=c * pos,
+                ),
+            )
         if progress:
             logger.info("chees sampling %d/%d (%.1fs)", pos, n_keep, _time.time() - t0)
 

@@ -74,40 +74,65 @@ def negative_log_marginal_likelihood(
     return jnp.where(ok & (n_valid > 0), nll, _BIG)
 
 
-def _lbfgs_minimize(fun, x0: jnp.ndarray, max_iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-iteration L-BFGS via optax (jittable, vmappable).
+def _lbfgs_minimize(
+    fun, x0: jnp.ndarray, max_iters: int, ftol: float = 1e-8,
+    gtol: float = 1e-8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """L-BFGS via optax (jittable, vmappable) with convergence-tolerance
+    early stopping inside the fixed-length scan: once the relative
+    objective change drops below ``ftol`` or the gradient inf-norm below
+    ``gtol`` (Optim.jl ``f_tol``/``g_tol`` semantics — the reference's
+    gpOptimFTol/gpOptimGTol knobs, /root/reference/src/MagiJl.jl:266-271,
+    both defaulting to 1e-8), the carry freezes and remaining iterations
+    are no-ops (jit-safe early stop: same program, zero further progress
+    cost beyond the cheap frozen steps).
 
-    Returns (best_params, best_value) seen along the trajectory.
+    Returns (best_params, best_value, value_trace, iters_used).
     """
     import optax
 
     opt = optax.lbfgs()
     vg = jax.value_and_grad(fun)
+    ftol = jnp.asarray(ftol, x0.dtype)
+    gtol = jnp.asarray(gtol, x0.dtype)
 
     def step(carry, _):
-        params, state, best_p, best_v = carry
+        params, state, best_p, best_v, prev_v, done = carry
         value, grad = vg(params)
-        better = value < best_v
+        better = (~done) & (value < best_v)
         best_p = jnp.where(better, params, best_p)
         best_v = jnp.where(better, value, best_v)
-        updates, state = opt.update(
+        conv_f = jnp.abs(value - prev_v) <= ftol * (jnp.abs(value) + 1e-30)
+        conv_g = jnp.max(jnp.abs(grad)) <= gtol
+        done = done | conv_f | conv_g
+        updates, new_state = opt.update(
             grad, state, params, value=value, grad=grad, value_fn=fun
         )
-        params = optax.apply_updates(params, updates)
+        new_params = optax.apply_updates(params, updates)
         # Guard against NaN steps poisoning the trajectory.
-        params = jnp.where(jnp.all(jnp.isfinite(params)), params, best_p)
-        return (params, state, best_p, best_v), value
+        new_params = jnp.where(
+            jnp.all(jnp.isfinite(new_params)), new_params, best_p
+        )
+        params = jnp.where(done, params, new_params)
+        state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), state, new_state
+        )
+        return (params, state, best_p, best_v, value, done), (value, done)
 
     v0 = fun(x0)
-    carry0 = (x0, opt.init(x0), x0, v0)
-    (params, _, best_p, best_v), _ = jax.lax.scan(
+    carry0 = (x0, opt.init(x0), x0, v0, jnp.asarray(jnp.inf, v0.dtype),
+              jnp.asarray(False))
+    (params, _, best_p, best_v, _, _), (trace, dones) = jax.lax.scan(
         step, carry0, None, length=max_iters
     )
+    iters_used = jnp.sum(~dones)
     final_v = fun(params)
     better = final_v < best_v
     return (
         jnp.where(better, params, best_p),
         jnp.where(better, final_v, best_v),
+        trace,
+        iters_used,
     )
 
 
@@ -120,12 +145,14 @@ def _optimize_all_dims(
     kernel_type: str,
     jitter: float,
     max_iters: int,
+    ftol: float = 1e-8,
+    gtol: float = 1e-8,
 ):
     def one_dim(lp0, y_d, m_d):
         fun = lambda lp: negative_log_marginal_likelihood(
             lp, y_d, m_d, tvec, kernel_type, jitter
         )
-        return _lbfgs_minimize(fun, lp0, max_iters)
+        return _lbfgs_minimize(fun, lp0, max_iters, ftol=ftol, gtol=gtol)
 
     return jax.vmap(one_dim)(initial_log_params, y_filled.T, mask.T)
 
@@ -165,12 +192,21 @@ def optimize_gp_hyperparameters(
     jitter: float = 1e-6,
     max_iters: int = 100,
     dtype=None,
+    ftol: float = 1e-8,
+    gtol: float = 1e-8,
+    show_trace: bool = False,
 ) -> np.ndarray:
     """Optimize (variance, lengthscale, sigma) for every dimension at once.
 
     Returns (D, 3) in ORIGINAL scale. Falls back to exp(initial guess) for
     any dimension whose optimum is non-finite/non-positive (parity:
     initialization.jl:242-248).
+
+    ``ftol``/``gtol``/``show_trace`` mirror the reference's gpOptimFTol /
+    gpOptimGTol / gpOptimShowTrace (/root/reference/src/MagiJl.jl:266-271;
+    Optim.jl semantics: relative objective change / gradient inf-norm).
+    ``show_trace`` logs the per-iteration NLML values (up to the stopping
+    point) for every dimension at INFO level.
     """
     if dtype is None:
         from ..config import default_dtype
@@ -185,7 +221,7 @@ def optimize_gp_hyperparameters(
     mask = np.isfinite(y_obs)
     y_filled = np.where(mask, y_obs, 0.0)
 
-    best_lp, best_v = _optimize_all_dims(
+    best_lp, best_v, trace, iters_used = _optimize_all_dims(
         jnp.asarray(initial_log_params, dtype),
         jnp.asarray(y_filled, dtype),
         jnp.asarray(mask.astype(np.float64), dtype),
@@ -193,7 +229,26 @@ def optimize_gp_hyperparameters(
         kernel_type,
         float(jitter),
         int(max_iters),
+        float(ftol),
+        float(gtol),
     )
+    if show_trace:
+        import logging
+
+        logger = logging.getLogger(__name__)
+        trace_np = np.asarray(trace, dtype=np.float64)
+        used_np = np.asarray(iters_used)
+        for dim in range(trace_np.shape[0]):
+            used = int(used_np[dim])
+            logger.info(
+                "NLML dim %d: %d/%d iterations (ftol=%.1e gtol=%.1e); "
+                "trace: %s",
+                dim, used, int(max_iters), ftol, gtol,
+                np.array2string(
+                    trace_np[dim, : max(used, 1)], precision=6,
+                    threshold=20, edgeitems=5,
+                ),
+            )
     best_lp = np.asarray(best_lp, dtype=np.float64)
     best_v = np.asarray(best_v, dtype=np.float64)
     result = np.exp(best_lp)

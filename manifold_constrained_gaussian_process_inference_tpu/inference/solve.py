@@ -261,6 +261,9 @@ def solve_magi(
             initial_log_params=guesses,
             jitter=config.jitter,
             max_iters=config.gp_optim_iterations,
+            ftol=config.gp_optim_ftol,
+            gtol=config.gp_optim_gtol,
+            show_trace=config.gp_optim_show_trace,
         )  # (D, 3): variance, lengthscale, sigma
         phi_all = phi_exo if phi_exo.size else optimized[:, :2].T
         sigma_init = np.maximum(optimized[:, 2], 1e-8)
@@ -582,6 +585,7 @@ def solve_magi(
                 chunk_size=config.chunk_size,
                 progress=config.verbose,
                 criterion=config.chees_criterion,
+                checkpoint_path=config.checkpoint_path,
             )
         elif config.sampler == "pt-nuts":
             from .tempering import run_parallel_tempering

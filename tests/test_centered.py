@@ -99,7 +99,19 @@ def test_centered_f32_energy_difference_noise_is_lower():
     |mphi| * |x| cancellation (the rounding of x = center + W z
     decorrelates between nearby z); the centered path computes dx = (W z)_x
     directly, so its differences track the f64 truth much closer (measured
-    ~4.5x at this grid; require 2x)."""
+    ~4.5x at this grid on TPU; require 2x).
+
+    The 2x RATIO is a TPU claim: the advantage is largest where f32
+    matmuls take bf16 passes (TPU default). On CPU, XLA computes f32
+    matmuls in true f32, both paths sit near the same (much lower) noise
+    floor, and the ratio is a coin flip (measured median ratio ~0.5-1.5
+    across seeds — a statistical assert there is flaky by construction,
+    VERDICT r2 item 1). CPU keeps the deterministic exactness checks
+    above (test_centered_equals_wrap_f64); the ratio asserts only on TPU,
+    where both sides are regression-guarded by an absolute sanity bound.
+    """
+    import jax
+
     from manifold_constrained_gaussian_process_inference_tpu.inference.whiten import (
         gauss_newton_map,
     )
@@ -135,6 +147,11 @@ def test_centered_f32_energy_difference_noise_is_lower():
         d_true = dE(vg64, jnp.float64)
         err_wrap.append(abs(dE(vg32_wrap, jnp.float32) - d_true))
         err_cent.append(abs(dE(vg32_cent, jnp.float32) - d_true))
-    assert np.median(err_cent) < 0.5 * np.median(err_wrap), (
-        np.median(err_cent), np.median(err_wrap)
-    )
+    # Absolute sanity on every platform: the centered path's f32 energy-
+    # difference error must stay far below O(1) (an O(1) energy error is
+    # what collapses NUTS step sizes — docs/BENCHMARKS.md f32 section).
+    assert np.median(err_cent) < 0.1, np.median(err_cent)
+    if jax.default_backend() == "tpu":
+        assert np.median(err_cent) < 0.5 * np.median(err_wrap), (
+            np.median(err_cent), np.median(err_wrap)
+        )

@@ -117,6 +117,49 @@ def test_solve_magi_checkpoint_path(tmp_path):
     assert ck.psi.shape == (1, 9 * 2 + 3)
 
 
+def test_chees_checkpoint_resume(tmp_path):
+    """run_chees writes a resumable checkpoint after every sampling chunk
+    (VERDICT r2 item 9); run_chees_resumed keeps the frozen step size /
+    metric / trajectory length, continues the Halton sequence at the saved
+    iteration index, is deterministic, and keeps sampling the target."""
+    from manifold_constrained_gaussian_process_inference_tpu.inference.chees import (
+        run_chees,
+        run_chees_resumed,
+    )
+
+    vg = _vg()
+    n_chains, dim = 8, 3
+    path = str(tmp_path / "chees.npz")
+    psi0 = jnp.zeros((n_chains, dim))
+    samples, info = run_chees(
+        vg, psi0, jax.random.PRNGKey(3), n_samples=600, n_adapts=300,
+        chunk_size=100, checkpoint_path=path,
+    )
+    ck = load_checkpoint(path)
+    assert ck.meta["sampler"] == "chees"
+    assert ck.meta["trajectory_length"] == info["trajectory_length"]
+    assert ck.meta["iteration"] == 600
+    assert "traj_adam_m" in ck.meta
+    assert ck.n_samples_drawn == n_chains * 300
+    assert np.array_equal(ck.psi, np.asarray(info["final_psi"]))
+
+    s1, info1, ck2 = run_chees_resumed(vg, ck, n_samples=400, chunk_size=100)
+    assert s1.shape == (n_chains, 400, dim)
+    assert info1["trajectory_length"] == info["trajectory_length"]
+    assert float(info1["step_size"]) == float(info["step_size"])
+    assert ck2.n_samples_drawn == ck.n_samples_drawn + n_chains * 400
+    assert ck2.meta["iteration"] == 1000
+    # determinism: resuming twice from the same checkpoint matches exactly
+    s1b, _, _ = run_chees_resumed(vg, ck, n_samples=400, chunk_size=100)
+    assert np.array_equal(s1, s1b)
+    # pooled moments of warm + resumed draws still match the unit Gaussian
+    pooled = np.concatenate(
+        [np.asarray(samples).reshape(-1, dim), s1.reshape(-1, dim)]
+    )
+    assert np.abs(pooled.mean(0)).max() < 0.25
+    assert np.abs(pooled.var(0) - 1.0).max() < 0.35
+
+
 def test_nan_guard_passthrough():
     from manifold_constrained_gaussian_process_inference_tpu.utils.debugging import (
         nan_guard,
