@@ -189,7 +189,11 @@ def solve_magi(
 
     ``initial_params`` optionally supplies the full Psi_0 =
     [vec(x); theta; log(sigma)] (parity: MagiJl.jl:175,526-569).
-    ``mesh`` shards chains across devices (TPU-native extension).
+    ``mesh`` shards the embarrassingly-parallel sampler axis across
+    devices (TPU-native extension): NUTS chains for ``sampler='nuts'``
+    (parallel/chains.py), PT replica ladders for ``sampler='pt-nuts'``
+    (tempering.py REPLICA_AXIS). ChEES pools adaptation statistics across
+    chains every iteration and stays single-device.
     """
     config = config or MagiConfig()
     t_start = time.time()
@@ -614,6 +618,7 @@ def solve_magi(
                 checkpoint_path=config.checkpoint_path,
                 n_replicas=n_rep,
                 mass_matrix=config.mass_matrix,
+                mesh=mesh,  # shards the replica axis (tempering.py)
             )
             # normalize info to the (C, S) layout of run_chains; the cold
             # (T=1) rung of each replica is one posterior chain.

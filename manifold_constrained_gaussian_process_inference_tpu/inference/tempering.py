@@ -46,6 +46,22 @@ from .nuts import nuts_transition
 
 logger = logging.getLogger(__name__)
 
+REPLICA_AXIS = "replicas"
+
+
+def make_replica_mesh(n_devices=None):
+    """1-D device mesh over the PT replica axis (each device runs
+    pt_replicas/n_devices full temperature ladders; replicas never
+    communicate on the hot path — ladder adaptation pools swap counters on
+    the host between chunks, exactly like the chain mesh in
+    parallel/chains.py)."""
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (REPLICA_AXIS,))
+
 
 def geometric_ladder(n_temps: int, t_max: float = 32.0) -> np.ndarray:
     """T_k = t_max^(k/(K-1)): [1, ..., t_max]."""
@@ -242,6 +258,7 @@ def run_parallel_tempering(
     checkpoint_path=None,
     n_replicas: int = 1,
     mass_matrix: str = "diag",
+    mesh=None,
 ):
     """PT-NUTS. Returns (samples from the T=1 chain(s), info): samples are
     (S, dim) when ``n_replicas == 1`` (default), else (R, S, dim) — R
@@ -249,6 +266,13 @@ def run_parallel_tempering(
     axis on device). Replication multiplies ESS near-linearly at sublinear
     wall-time cost (the per-rung problem underutilizes the chip) and gives
     independent cold chains for split-R-hat.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (see ``make_replica_mesh``)
+    shards the REPLICA axis across devices via shard_map — replicas are
+    independent ladders, so the hot path has zero collectives; host-side
+    ladder adaptation and pooled-metric estimation already pool across
+    replicas between chunks and work unchanged. Requires
+    ``n_replicas % mesh.devices.size == 0``.
 
     The ladder SPACING adapts during the first ~3/4 of warmup
     (``adapt_ladder``: equidistributed per-pair rejection, endpoints
@@ -301,6 +325,18 @@ def run_parallel_tempering(
     # PT step vmapped over it (per-iteration adaptation flags are shared).
     carry = jax.vmap(one_replica_carry)(psi0s, lp0s, g0s, keys)
 
+    rep_axis = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (rep_axis,) = mesh.axis_names
+        n_dev = mesh.devices.size
+        if n_rep % n_dev != 0:
+            raise ValueError(
+                f"n_replicas={n_rep} must be a multiple of mesh size {n_dev}"
+            )
+        carry = jax.device_put(carry, NamedSharding(mesh, P(rep_axis)))
+
     pooled = mass_matrix == "dense-pooled"
     if mass_matrix not in ("diag", "dense-pooled"):
         raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
@@ -330,23 +366,38 @@ def run_parallel_tempering(
 
     compiled = {}
 
+    def _compile(step, with_metric):
+        """Jit (and, with a mesh, shard_map over the replica axis) the
+        chunked scan. Inside shard_map the SAME vmapped step runs on the
+        local replica shard; flags and the pooled metric are replicated
+        (P()); carry leaves shard on their leading replica axis and the
+        per-iteration emissions on axis 1 (scan stacks time first)."""
+        if with_metric:
+            body = lambda c, f, m: lax.scan(
+                lambda cc, x: step(cc, x, m), c, f
+            )
+        else:
+            body = lambda c, f: lax.scan(step, c, f)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            in_specs = (
+                (P(rep_axis), P(), P()) if with_metric
+                else (P(rep_axis), P())
+            )
+            body = jax.shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(rep_axis), P(None, rep_axis)),
+                check_vma=False,
+            )
+        return jax.jit(body)
+
     def run_chunk(carry, step, flags, length, tag, metric_=None):
         key_ = (tag, length)
-        if pooled:
-            if key_ not in compiled:
-                compiled[key_] = jax.jit(
-                    partial(
-                        lambda c, f, m, s: lax.scan(
-                            lambda cc, x: s(cc, x, m), c, f
-                        ),
-                        s=step,
-                    )
-                )
-            return compiled[key_](carry, flags, metric_)
         if key_ not in compiled:
-            compiled[key_] = jax.jit(
-                partial(lambda c, f, s: lax.scan(s, c, f), s=step)
-            )
+            compiled[key_] = _compile(step, pooled)
+        if pooled:
+            return compiled[key_](carry, flags, metric_)
         return compiled[key_](carry, flags)
 
     t0 = time.time()
