@@ -63,6 +63,13 @@ BETA = (1.0, 1.0, 1.0)
 # metric).
 PRODUCTION_SEEDS = (42, 7, 123)
 
+# Production chain count. The utilization study (docs/BENCHMARKS.md) puts
+# the batched-eval sweet spot at batch >= 64 (63% HBM), but min-theta
+# ESS/sec is what the headline pays for — benchmarks/chain_sweep.py sweeps
+# n_chains in {16, 32, 64} on this workload and this constant records the
+# measured optimum.
+N_CHAINS = 16
+
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     import jax.numpy as jnp
@@ -141,7 +148,7 @@ def bench_device_grad(target, psi0, n_evals=3000):
     return n_evals / dt
 
 
-def bench_production(host, n_iters=3000, seed=42):
+def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS):
     """The production stack on the reference protocol, through the public
     API: solve_magi with NLML init -> staged Gauss-Newton MAP -> Laplace
     whitening -> pooled-dense-metric multi-chain NUTS. Reports min-theta
@@ -171,7 +178,7 @@ def bench_production(host, n_iters=3000, seed=42):
         # data basin; the tempered posterior's sigma-inflated basin is
         # config 6's PT job — see docs/BENCHMARKS.md multimodality notes).
         sampler="nuts",
-        n_chains=16,
+        n_chains=n_chains,
         mass_matrix="dense-pooled",
         chain_init_jitter=0.05,
         x_whitened=True,

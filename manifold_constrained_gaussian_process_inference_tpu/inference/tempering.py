@@ -411,7 +411,7 @@ def run_parallel_tempering(
     ladder_freeze_at = int(0.75 * n_adapts)
     adapt_seg = max(50, n_adapts // 10) if ladder_adapt else n_adapts
     we_bounds = np.where(window_end)[0] + 1  # pooled-metric update points
-    win_qs, win_mask = [], []
+    win_qs, win_mask, win_div = [], [], []
     while pos < n_adapts:
         limit = ladder_freeze_at if pos < ladder_freeze_at else n_adapts
         length = min(chunk_size, adapt_seg, limit - pos)
@@ -431,6 +431,7 @@ def run_parallel_tempering(
             # q0s is (L, R, K, dim) in pooled warmup (emit_all).
             win_qs.append(np.asarray(q0s))
             win_mask.append(in_window[pos : pos + length])
+            win_div.append(np.asarray(div))  # (L, R, K)
         pos += length
         if pooled and window_end[pos - 1]:
             from ..parallel.chains import pooled_dense_metric_from_samples
@@ -439,10 +440,15 @@ def run_parallel_tempering(
             buf = np.concatenate(win_qs, axis=0)        # (Lw, R, K, dim)
             keep = np.concatenate(win_mask)
             buf = buf[keep]
+            dbuf = np.concatenate(win_div, axis=0)[keep].astype(bool)
             prev_minv = np.asarray(metric.minv)
             minvs, chols = [], []
             for k_i in range(k_temps):
-                flat = buf[:, :, k_i, :].reshape(-1, dim).astype(np.float64)
+                # Divergence-aware pooling, same rationale as
+                # chains._pooled_dense_metric: divergent transitions emit
+                # repeated boundary-biased positions — drop them, and keep
+                # the previous rung metric if most of the window diverged.
+                d_k = dbuf[:, :, k_i]                   # (Lw', R)
                 prev_k = DenseMetric(
                     minv=jnp.asarray(prev_minv[k_i], dtype),
                     chol_minv=jnp.asarray(
@@ -452,15 +458,27 @@ def run_parallel_tempering(
                         dtype,
                     ),
                 )
-                m_k = pooled_dense_metric_from_samples(
-                    flat, dim, dtype, prev_k
-                )
+                frac = float(d_k.mean()) if d_k.size else 0.0
+                if frac > 0.5:
+                    logger.warning(
+                        "PT pooled metric rung %d: %.0f%% of window draws "
+                        "diverged; keeping previous metric.",
+                        k_i, 100.0 * frac,
+                    )
+                    m_k = prev_k
+                else:
+                    flat = (
+                        buf[:, :, k_i, :][~d_k].astype(np.float64)
+                    )
+                    m_k = pooled_dense_metric_from_samples(
+                        flat, dim, dtype, prev_k
+                    )
                 minvs.append(m_k.minv)
                 chols.append(m_k.chol_minv)
             metric = DenseMetric(
                 minv=jnp.stack(minvs), chol_minv=jnp.stack(chols)
             )
-            win_qs, win_mask = [], []
+            win_qs, win_mask, win_div = [], [], []
         if ladder_adapt and pos <= ladder_freeze_at:
             old = np.asarray(carry.inv_temps, dtype=np.float64)[0]
             new = adapt_ladder(

@@ -73,7 +73,7 @@ def _window_aligned_chunks(window_end: np.ndarray, chunk: int):
 
 
 def _pooled_dense_metric(
-    window_qs, in_win_mask, dim, dtype, prev: DenseMetric
+    window_qs, in_win_mask, dim, dtype, prev: DenseMetric, window_div=None
 ) -> DenseMetric:
     """Cross-chain pooled covariance -> regularized dense M^-1 + Cholesky.
 
@@ -83,10 +83,36 @@ def _pooled_dense_metric(
     directions the window has not explored (rank-deficient pooled
     covariance when n_s < dim) keep unit mass instead of collapsing to the
     ridge term — and falls back to the previous metric if the estimate is
-    not usable."""
+    not usable.
+
+    ``window_div`` (same chunk list, (C, L) bool) makes the estimate
+    DIVERGENCE-AWARE: a divergent NUTS transition rejects back to (or
+    near) its starting point, so divergent iterations contribute repeated,
+    boundary-biased positions that skew the pooled covariance toward the
+    pathological region that produced them. Those draws are dropped, and
+    a window where most draws diverged keeps the previous metric entirely
+    (adopting a covariance measured mid-pathology is how one bad window
+    poisons the whole run — the round-2 seed-7 902-divergence cluster)."""
     qs = np.concatenate(window_qs, axis=1)          # (C, L, dim) float64
     keep = np.concatenate(in_win_mask)              # (L,)
-    flat = qs[:, keep, :].reshape(-1, dim).astype(np.float64)
+    qs = qs[:, keep, :]
+    if window_div is not None:
+        div = np.concatenate(window_div, axis=1)[:, keep].astype(bool)
+        frac = float(div.mean()) if div.size else 0.0
+        if frac > 0.5:
+            logger.warning(
+                "pooled dense metric: %.0f%% of window draws diverged; "
+                "keeping previous metric.", 100.0 * frac,
+            )
+            return prev
+        if frac > 0.0:
+            logger.info(
+                "pooled dense metric: dropping %.1f%% divergent window "
+                "draws from the estimate.", 100.0 * frac,
+            )
+        flat = qs[~div].astype(np.float64)          # (n_keep, dim)
+    else:
+        flat = qs.reshape(-1, dim).astype(np.float64)
     return pooled_dense_metric_from_samples(flat, dim, dtype, prev)
 
 
@@ -345,7 +371,7 @@ def _run_chains_pooled(
 
     in_window, window_end = build_window_schedule(n_adapts)
     warmup_div_chunks = []
-    window_qs, window_mask = [], []
+    window_qs, window_mask, window_div = [], [], []
     pos = 0
     t0 = time.time()
     chunks = _window_aligned_chunks(window_end, chunk_size)
@@ -359,12 +385,13 @@ def _run_chains_pooled(
         warmup_div_chunks.append(np.asarray(div))
         window_qs.append(np.asarray(qs))
         window_mask.append(in_window[pos : pos + length])
+        window_div.append(np.asarray(div))
         pos += length
         if window_end[pos - 1]:
             metric = _pooled_dense_metric(
-                window_qs, window_mask, dim, dtype, metric
+                window_qs, window_mask, dim, dtype, metric, window_div
             )
-            window_qs, window_mask = [], []
+            window_qs, window_mask, window_div = [], [], []
         if progress:
             logger.info(
                 "warmup %d/%d (%.1fs, pooled dense metric)",
