@@ -187,6 +187,16 @@ def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS):
         # mirror basin out (measured: unconstrained chains migrate there
         # at beta_obs=5 once PT swaps actually work).
         theta_constrained=True,
+        # 0.95, not the 0.8 default: the posterior has a localized sharp-
+        # curvature pocket at theta_b ~ 0.48 (P(divergence)=0.64 inside it
+        # at the eps that 0.8 adapts to; ~0.002 elsewhere). A chain
+        # entering it sticks and floods the run with divergences — the
+        # round-2 seed-7 cluster (902 divergences, ESS 95). At 0.95 the
+        # smaller adapted eps resolves the pocket: seed-7 measured
+        # 1043 div / ESS 119 / 0.74 ESS/s (0.8) -> 1 div / ESS 3332 /
+        # 26.8 ESS/s (0.95) — 36x, and wall time DROPPED (divergent
+        # rebuilds cost more than the extra leapfrogs).
+        target_accept_ratio=0.95,
         seed=seed,
         # Full-precision contractions lengthen each device call ~3x; the
         # remote worker crashes on multi-minute single executions — bound

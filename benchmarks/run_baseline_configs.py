@@ -141,6 +141,9 @@ def run_config(idx: int, seed: int) -> dict:
         )
         cfg = MagiConfig(
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            # 0.95 resolves the theta_b~0.48 curvature pocket (bench.py
+            # production comment: 36x seed-7 ESS/s, divergences -> ~0).
+            target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
             phi=hp[:, :2].T, sigma=np.array([0.2, 0.2]),  # fixed-sigma mode
             # Unimodal at default temperatures: the single-basin production
@@ -171,6 +174,9 @@ def run_config(idx: int, seed: int) -> dict:
         data = fn_data(seed)
         cfg = MagiConfig(
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            # 0.95 resolves the theta_b~0.48 curvature pocket (bench.py
+            # production comment: 36x seed-7 ESS/s, divergences -> ~0).
+            target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
             sampler="nuts", n_chains=16, x_whitened=True,
             theta_constrained=True, chain_init_jitter=0.05,
@@ -189,6 +195,9 @@ def run_config(idx: int, seed: int) -> dict:
         data = fn_data(seed)
         cfg = MagiConfig(
             niter_hmc=3000, step_size_factor=0.06, seed=seed,
+            # 0.95 resolves the theta_b~0.48 curvature pocket (bench.py
+            # production comment: 36x seed-7 ESS/s, divergences -> ~0).
+            target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 5.0),
             sampler="pt-nuts", x_whitened=True, theta_constrained=True,
             pt_replicas=4, mass_matrix="dense-pooled",
@@ -230,6 +239,9 @@ def run_config(idx: int, seed: int) -> dict:
         data = fn_data(seed, fill=3)  # n = 793
         cfg = MagiConfig(
             niter_hmc=2000, step_size_factor=0.06, seed=seed,
+            # 0.95 resolves the theta_b~0.48 curvature pocket (bench.py
+            # production comment: 36x seed-7 ESS/s, divergences -> ~0).
+            target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
             sampler="nuts", n_chains=16, x_whitened=True,
             theta_constrained=True, chain_init_jitter=0.05,
@@ -254,6 +266,9 @@ def run_config(idx: int, seed: int) -> dict:
         data = fn_data(seed)
         cfg = MagiConfig(
             niter_hmc=2000, step_size_factor=0.06, seed=seed,
+            # 0.95 resolves the theta_b~0.48 curvature pocket (bench.py
+            # production comment: 36x seed-7 ESS/s, divergences -> ~0).
+            target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
             sampler="nuts", n_chains=16, x_whitened=True,
             # Whitened coordinates have ~unit posterior scale: 0.05-sd
