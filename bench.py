@@ -63,12 +63,14 @@ BETA = (1.0, 1.0, 1.0)
 # metric).
 PRODUCTION_SEEDS = (42, 7, 123)
 
-# Production chain count. The utilization study (docs/BENCHMARKS.md) puts
-# the batched-eval sweet spot at batch >= 64 (63% HBM), but min-theta
-# ESS/sec is what the headline pays for — benchmarks/chain_sweep.py sweeps
-# n_chains in {16, 32, 64} on this workload and this constant records the
-# measured optimum.
-N_CHAINS = 16
+# Production chain count: the measured ESS/sec optimum from
+# benchmarks/chain_sweep.py (chain_sweep.jsonl, seeds 42/123, TA=0.95).
+# Min-theta ESS scales ~linearly with chains while wall time grows much
+# slower up to 64 (sampling-only ESS/s: 16 chains ~17-25, 32 ~49, 64
+# ~63-69); at 128 the per-iteration cost doubles AND tail risk bites —
+# with more chains the odds that SOME chain enters the theta_b~0.48
+# divergence pocket grow (seed 123 @128: 1376 divergences, ESS/s 15).
+N_CHAINS = 64
 
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):

@@ -150,7 +150,7 @@ def run_config(idx: int, seed: int) -> dict:
             # sampler (whitened multi-chain NUTS + pooled dense metric)
             # mixes far better than PT here (PT is config 6's job).
             sampler=("chees" if idx == 7 else "nuts"),
-            n_chains=16, x_whitened=True,
+            n_chains=64, x_whitened=True,  # measured ESS/sec optimum (chain_sweep.jsonl)
             theta_constrained=True, chain_init_jitter=0.05,
             mass_matrix="dense-pooled", chunk_size=250,
         )
@@ -178,7 +178,7 @@ def run_config(idx: int, seed: int) -> dict:
             # production comment: 36x seed-7 ESS/s, divergences -> ~0).
             target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
-            sampler="nuts", n_chains=16, x_whitened=True,
+            sampler="nuts", n_chains=64, x_whitened=True,  # measured ESS/sec optimum (chain_sweep.jsonl)
             theta_constrained=True, chain_init_jitter=0.05,
             mass_matrix="dense-pooled", chunk_size=250,
         )
@@ -243,7 +243,7 @@ def run_config(idx: int, seed: int) -> dict:
             # production comment: 36x seed-7 ESS/s, divergences -> ~0).
             target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
-            sampler="nuts", n_chains=16, x_whitened=True,
+            sampler="nuts", n_chains=64, x_whitened=True,  # measured ESS/sec optimum (chain_sweep.jsonl)
             theta_constrained=True, chain_init_jitter=0.05,
             mass_matrix="dense-pooled",
             # n=793 executions are heavy; long single XLA executions have
@@ -270,7 +270,7 @@ def run_config(idx: int, seed: int) -> dict:
             # production comment: 36x seed-7 ESS/s, divergences -> ~0).
             target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
-            sampler="nuts", n_chains=16, x_whitened=True,
+            sampler="nuts", n_chains=64, x_whitened=True,  # measured ESS/sec optimum (chain_sweep.jsonl)
             # Whitened coordinates have ~unit posterior scale: 0.05-sd
             # dispersion overdisperses enough for split-R-hat while staying
             # on the manifold (0.5 strands chains ~14 Mahalanobis units
@@ -283,7 +283,7 @@ def run_config(idx: int, seed: int) -> dict:
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
-        out["n_chains"] = 16
+        out["n_chains"] = 64
         sig = res.sigma.mean(axis=0)
         out["sigma_mean"] = [round(float(x), 4) for x in sig]
     else:
