@@ -22,6 +22,17 @@ designed for exactly this hardware situation:
 
 The MAGI posterior is the intended target: 8-64 chains on one chip, each
 leapfrog step evaluating the fused value-and-grad batched over chains.
+
+Multi-device: chains shard over a 1-D ``Mesh`` (``run_chees(mesh=...)``),
+the same axis layout as parallel/chains.py — but unlike NUTS chains, ChEES
+chains are COUPLED through the cross-chain adaptation statistics (the
+trajectory-criterion gradient, harmonic-mean acceptance, Welford metric,
+Oja principal component). Those reductions become ``lax.psum``/``pmean``
+collectives over the chain axis — a handful of scalars/(dim,)-vectors per
+iteration riding ICI, negligible next to the leapfrog matvecs. Every
+chain's randomness comes from its OWN PRNG key, so the sharded run is
+bitwise identical to the single-device run in the chain dynamics
+(cross-chain statistics match up to reduction order).
 """
 from __future__ import annotations
 
@@ -39,6 +50,21 @@ from .adapt import (
 )
 
 MAX_LEAPFROG = 1000
+
+CHAIN_AXIS = "chains"
+
+
+def _gmean(x: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
+    """Mean over the (possibly sharded) chain axis: local mean, then pmean
+    over the mesh axis — exact for equal shard sizes (enforced)."""
+    m = jnp.mean(x, axis=0)
+    return lax.pmean(m, axis_name) if axis_name else m
+
+
+def _gsum(x: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
+    """Sum over the (possibly sharded) chain axis."""
+    s = jnp.sum(x, axis=0)
+    return lax.psum(s, axis_name) if axis_name else s
 
 
 def halton(i: jnp.ndarray, base: int = 2) -> jnp.ndarray:
@@ -64,8 +90,8 @@ class CheesState(NamedTuple):
     qs: jnp.ndarray        # (C, dim)
     logps: jnp.ndarray     # (C,)
     grads: jnp.ndarray     # (C, dim)
-    key: jnp.ndarray
-    iteration: jnp.ndarray # scalar int32
+    keys: jnp.ndarray      # (C, 2) per-chain PRNG keys (shardable with qs)
+    iteration: jnp.ndarray # scalar int32 (replicated; drives the Halton jitter)
 
 
 class CheesAdaptState(NamedTuple):
@@ -92,7 +118,8 @@ def chees_init(
     c, dim = qs.shape
     logps, grads = vg_batched(qs)
     state = CheesState(
-        qs=qs, logps=logps, grads=grads, key=key, iteration=jnp.int32(0)
+        qs=qs, logps=logps, grads=grads,
+        keys=jax.random.split(key, c), iteration=jnp.int32(0),
     )
     # Start T well above the floor so adaptation explores downward AND
     # upward (tfp-style default: ~32 steps worth).
@@ -137,6 +164,7 @@ def chees_transition(
     traj_length: jnp.ndarray,
     max_leapfrog: int = MAX_LEAPFROG,
     pc: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ):
     """One jittered-HMC iteration for all chains (shared leapfrog count).
 
@@ -146,10 +174,17 @@ def chees_transition(
     PROJECTION onto the principal component (Sountsov & Hoffman 2021)
     instead of ChEES's squared-norm change, which collapses on multiscale
     targets where the bulk directions' noise swamps the slow direction.
+
+    ``axis_name``: when the chain axis is sharded over a mesh (shard_map),
+    the cross-chain statistics (centering means, the criterion-gradient
+    numerator/denominator) reduce with psum/pmean over that axis; the
+    per-chain dynamics are untouched (each chain uses its own key), so the
+    sharded run is bitwise identical to single-device in the chains.
     """
     dtype = state.qs.dtype
     c, dim = state.qs.shape
-    key, k_mom, k_acc = jax.random.split(state.key, 3)
+    ks = jax.vmap(lambda k: jax.random.split(k, 3))(state.keys)  # (C, 3, 2)
+    new_keys, k_mom, k_acc = ks[:, 0], ks[:, 1], ks[:, 2]
 
     # Halton jitter of the trajectory length (shared across chains).
     u = halton(state.iteration).astype(dtype)
@@ -159,7 +194,9 @@ def chees_transition(
     )
     traj_actual = n_steps.astype(dtype) * eps
 
-    ps = jax.random.normal(k_mom, state.qs.shape, dtype) / jnp.sqrt(inv_mass)[None, :]
+    ps = jax.vmap(lambda k: jax.random.normal(k, (dim,), dtype))(
+        k_mom
+    ) / jnp.sqrt(inv_mass)[None, :]
     h0 = -state.logps + 0.5 * jnp.sum(ps * ps * inv_mass[None, :], axis=1)
 
     qs_new, ps_new, grads_new, logps_new = _leapfrog_batch(
@@ -169,7 +206,8 @@ def chees_transition(
     delta = h1 - h0
     log_accept = jnp.where(jnp.isnan(delta), -jnp.inf, -delta)
     accept_prob = jnp.exp(jnp.minimum(0.0, log_accept))
-    accept = jax.random.uniform(k_acc, (c,), dtype) < accept_prob
+    accept_u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype))(k_acc)
+    accept = accept_u < accept_prob
 
     qs_out = jnp.where(accept[:, None], qs_new, state.qs)
     logps_out = jnp.where(accept, logps_new, state.logps)
@@ -181,8 +219,8 @@ def chees_transition(
     # (Hoffman et al. 2021, eq. 8): weight per chain
     #   w_i = a_i * (||q'_c||^2 - ||q_c||^2) * (q'_c . v'_i)
     # with centered q, v' = M^{-1} p', a_i the acceptance probability.
-    q_mean = jnp.mean(state.qs, axis=0)
-    qn_mean = jnp.mean(qs_new, axis=0)
+    q_mean = _gmean(state.qs, axis_name)
+    qn_mean = _gmean(qs_new, axis_name)
     qc = state.qs - q_mean[None, :]
     qnc = qs_new - qn_mean[None, :]
     vs_new = ps_new * inv_mass[None, :]
@@ -198,13 +236,13 @@ def chees_transition(
         dsq = a1 * a1 - a0 * a0
         proj = a1 * (vs_new @ pc)
     w = accept_prob * dsq * proj
-    denom = jnp.sum(accept_prob) + 1e-6
-    chees_grad = jnp.sum(w) / denom  # d criterion / d (trajectory length), up to scale
+    denom = _gsum(accept_prob, axis_name) + 1e-6
+    chees_grad = _gsum(w, axis_name) / denom  # d criterion / d traj length, up to scale
     # account for the jitter: d t / d T = u
     chees_grad = chees_grad * u
 
     new_state = CheesState(
-        qs=qs_out, logps=logps_out, grads=grads_out, key=key,
+        qs=qs_out, logps=logps_out, grads=grads_out, keys=new_keys,
         iteration=state.iteration + 1,
     )
     info = {
@@ -226,13 +264,22 @@ def chees_adapt_update(
     target_accept: float,
     eps: jnp.ndarray,
     adam_lr: float = 0.025,
+    axis_name: str | None = None,
 ) -> CheesAdaptState:
     """Warmup update: dual averaging on harmonic-mean acceptance, Adam on
-    log T along the ChEES gradient, Welford over all chains."""
+    log T along the ChEES gradient, Welford over all chains. With
+    ``axis_name`` (sharded chain axis) every cross-chain reduction goes
+    through psum/pmean so the adapted quantities equal the single-device
+    values up to reduction order."""
     dtype = qs.dtype
     c, dim = qs.shape
+    c_glob = (
+        lax.psum(jnp.asarray(float(c), dtype), axis_name)
+        if axis_name else jnp.asarray(float(c), dtype)
+    )
     # harmonic mean of per-chain acceptance (robust to stragglers)
-    hmean = 1.0 / jnp.mean(1.0 / jnp.maximum(info["accept_prob"], 1e-10))
+    hmean = 1.0 / _gmean(1.0 / jnp.maximum(info["accept_prob"], 1e-10),
+                         axis_name)
     da = da_update(adapt.da, hmean, target_accept)
 
     # Adam ascent on log T
@@ -254,17 +301,20 @@ def chees_adapt_update(
     ).astype(dtype)
 
     # Welford over all chains' current draws
-    count = adapt.welford_count + c
+    count = adapt.welford_count + c_glob
     delta = qs - adapt.welford_mean[None, :]
-    mean = adapt.welford_mean + jnp.sum(delta, axis=0) / count
-    m2 = adapt.welford_m2 + jnp.sum(delta * (qs - mean[None, :]), axis=0)
+    mean = adapt.welford_mean + _gsum(delta, axis_name) / count
+    m2 = adapt.welford_m2 + _gsum(delta * (qs - mean[None, :]), axis_name)
 
     # Oja's rule on the cross-chain batch: one power-iteration-style step
     # of the principal component toward Sigma u (SNAPER's difficult
     # direction). Step size decays like the Welford weight so the estimate
     # settles as the covariance does.
     qc = qs - mean[None, :]
-    sigma_u = (qc.T @ (qc @ adapt.pc)) / c
+    su = qc.T @ (qc @ adapt.pc)
+    if axis_name:
+        su = lax.psum(su, axis_name)
+    sigma_u = su / c_glob
     eta = 1.0 / jnp.sqrt(t + 10.0)
     pc_new = adapt.pc + eta * sigma_u
     norm = jnp.sqrt(jnp.sum(pc_new * pc_new))
@@ -317,7 +367,7 @@ def chees_checkpoint(
         psi=np.asarray(state.qs),
         step_size=np.atleast_1d(np.asarray(eps)),
         inv_mass=np.atleast_2d(np.asarray(inv_mass)),  # (1, dim): shared
-        key=np.atleast_2d(np.asarray(state.key)),
+        key=np.atleast_2d(np.asarray(state.keys)),     # (C, 2) per chain
         n_samples_drawn=int(n_samples_drawn),
         meta={
             "sampler": "chees",
@@ -359,13 +409,16 @@ def run_chees_resumed(
     eps = jnp.asarray(np.asarray(ckpt.step_size).reshape(()), dtype)
     inv_mass = jnp.asarray(np.asarray(ckpt.inv_mass).reshape(dim), dtype)
     traj = jnp.asarray(ckpt.meta["trajectory_length"], dtype)
-    key = jnp.asarray(
-        np.asarray(ckpt.key).astype(np.uint32).reshape(-1)[-2:]
-    )
+    karr = np.asarray(ckpt.key).astype(np.uint32).reshape(-1, 2)
+    if karr.shape[0] == c:
+        keys = jnp.asarray(karr)               # per-chain keys (current format)
+    else:
+        # legacy single-key checkpoint: derive per-chain keys from it
+        keys = jax.random.split(jnp.asarray(karr[-1]), c)
     vg_batched = jax.vmap(vg)
     logps, grads = vg_batched(qs)
     state = CheesState(
-        qs=qs, logps=logps, grads=grads, key=key,
+        qs=qs, logps=logps, grads=grads, keys=keys,
         iteration=jnp.int32(int(ckpt.meta.get("iteration", 0))),
     )
 
@@ -436,7 +489,7 @@ def run_chees_resumed(
         "inv_mass": np.asarray(inv_mass),
         "trajectory_length": float(traj),
         "final_psi": np.asarray(state.qs),
-        "final_key": np.asarray(state.key),
+        "final_key": np.asarray(state.keys),
     }
     new_ckpt = chees_checkpoint(
         state, adapt_stub, eps, inv_mass, traj,
@@ -460,10 +513,17 @@ def run_chees(
     adapt_trajectory: bool = True,
     criterion: str = "snaper",
     checkpoint_path: str | None = None,
+    mesh=None,
 ):
     """Run C ChEES-HMC chains. API mirrors parallel.chains.run_chains
-    (single-device; the batched axis IS the chain axis). Returns
+    (the batched axis IS the chain axis). Returns
     (samples (C, S, dim) numpy, info dict).
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh`` — chains shard over
+    its axis (C must divide by mesh size). The cross-chain adaptation
+    statistics reduce with psum/pmean collectives (see module docstring);
+    chain dynamics are bitwise independent of the layout because each
+    chain carries its own PRNG key.
 
     ``init_jitter`` disperses chains 1..C-1 around psi0 — the trajectory
     criterion is a CROSS-CHAIN variance statistic and degenerates when all
@@ -486,6 +546,15 @@ def run_chees(
     n_keep = n_samples - n_adapts
     vg_batched = jax.vmap(vg)
 
+    axis_name = None
+    if mesh is not None:
+        (axis_name,) = mesh.axis_names
+        n_dev = mesh.devices.size
+        if c % n_dev != 0:
+            raise ValueError(
+                f"n_chains={c} must be a multiple of mesh size {n_dev}"
+            )
+
     if init_jitter > 0 and c > 1:
         key, k_jit = jax.random.split(key)
         noise = init_jitter * jax.random.normal(k_jit, psi0.shape, dtype)
@@ -496,6 +565,48 @@ def run_chees(
     )
     t_pinned = float(adapt.traj_length)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(axis_name))
+        repl = NamedSharding(mesh, P())
+        state = CheesState(
+            qs=jax.device_put(state.qs, shard),
+            logps=jax.device_put(state.logps, shard),
+            grads=jax.device_put(state.grads, shard),
+            keys=jax.device_put(state.keys, shard),
+            iteration=jax.device_put(state.iteration, repl),
+        )
+        adapt = jax.tree.map(lambda x: jax.device_put(x, repl), adapt)
+        state_spec = CheesState(
+            qs=P(axis_name), logps=P(axis_name), grads=P(axis_name),
+            keys=P(axis_name), iteration=P(),
+        )
+        adapt_spec = jax.tree.map(lambda _: P(), adapt)
+        warmup_specs = (
+            (state_spec, adapt_spec, P()),
+            (state_spec, adapt_spec, P(None, axis_name)),
+        )
+        sample_specs = (
+            (state_spec, P(), P(), P()),
+            (state_spec, (
+                P(None, axis_name, None), P(None, axis_name),
+                P(None, axis_name), P(None, axis_name),
+                P(None, axis_name),
+            )),
+        )
+
+        def _wrap(f, specs):
+            return jax.jit(jax.shard_map(
+                f, mesh=mesh, in_specs=specs[0], out_specs=specs[1],
+                check_vma=False,
+            ))
+    else:
+        warmup_specs = sample_specs = None
+
+        def _wrap(f, specs=None):
+            return jax.jit(f)
+
     # Stan-like windows for metric refreshes.
     from .adapt import build_window_schedule
 
@@ -505,17 +616,17 @@ def run_chees(
         raise ValueError(f"unknown trajectory criterion '{criterion}'")
     use_pc = criterion == "snaper"
 
-    @jax.jit
     def warmup_chunk(state, adapt, we_flags):
         def step(carry, we):
             state, adapt = carry
             eps = jnp.exp(adapt.da.log_eps).astype(dtype)
             new_state, info = chees_transition(
                 vg_batched, state, eps, adapt.inv_mass, adapt.traj_length,
-                pc=adapt.pc if use_pc else None,
+                pc=adapt.pc if use_pc else None, axis_name=axis_name,
             )
             adapt = chees_adapt_update(
-                adapt, new_state.qs, info, target_accept, eps
+                adapt, new_state.qs, info, target_accept, eps,
+                axis_name=axis_name,
             )
             if not adapt_trajectory:
                 adapt = adapt._replace(
@@ -529,12 +640,18 @@ def run_chees(
         (state, adapt), div = lax.scan(step, (state, adapt), we_flags)
         return state, adapt, div
 
+    warmup_fn = _wrap(warmup_chunk, warmup_specs)
+
     def sample_chunk(state, eps, inv_mass, traj_length, length):
         def step(state, _):
             new_state, info = chees_transition(
-                vg_batched, state, eps, inv_mass, traj_length
+                vg_batched, state, eps, inv_mass, traj_length,
+                axis_name=axis_name,
             )
-            return new_state, (new_state.qs, new_state.logps, info)
+            return new_state, (
+                new_state.qs, new_state.logps, info["accept_prob"],
+                info["num_leapfrog"], info["diverging"],
+            )
 
         return lax.scan(step, state, None, length=length)
 
@@ -543,7 +660,7 @@ def run_chees(
     while pos < n_adapts:
         length = min(chunk_size, n_adapts - pos)
         we = jnp.asarray(window_end[pos : pos + length])
-        state, adapt, _ = warmup_chunk(state, adapt, we)
+        state, adapt, _ = warmup_fn(state, adapt, we)
         pos += length
         if progress:
             logger.info("chees warmup %d/%d (%.1fs)", pos, n_adapts, _time.time() - t0)
@@ -560,17 +677,17 @@ def run_chees(
         if length not in sample_chunk_by_len:
             from functools import partial
 
-            sample_chunk_by_len[length] = jax.jit(
-                partial(sample_chunk, length=length)
+            sample_chunk_by_len[length] = _wrap(
+                partial(sample_chunk, length=length), sample_specs
             )
-        state, (qs, lps, info) = sample_chunk_by_len[length](
+        state, (qs, lps, acc, leap, div) = sample_chunk_by_len[length](
             state, eps_final, inv_mass_final, traj_final
         )
         qs_parts.append(np.asarray(jnp.swapaxes(qs, 0, 1)))   # (C, len, dim)
         lp_parts.append(np.asarray(jnp.swapaxes(lps, 0, 1)))
-        acc_parts.append(np.asarray(jnp.swapaxes(info["accept_prob"], 0, 1)))
-        leap_parts.append(np.asarray(jnp.swapaxes(info["num_leapfrog"], 0, 1)))
-        div_parts.append(np.asarray(jnp.swapaxes(info["diverging"], 0, 1)))
+        acc_parts.append(np.asarray(jnp.swapaxes(acc, 0, 1)))
+        leap_parts.append(np.asarray(jnp.swapaxes(leap, 0, 1)))
+        div_parts.append(np.asarray(jnp.swapaxes(div, 0, 1)))
         pos += length
         if checkpoint_path:
             from .checkpoint import save_checkpoint
@@ -597,7 +714,7 @@ def run_chees(
         "inv_mass": np.asarray(inv_mass_final),
         "trajectory_length": float(traj_final),
         "final_psi": np.asarray(state.qs),
-        "final_key": np.asarray(state.key),
+        "final_key": np.asarray(state.keys),
         "warmup_diverging": np.zeros((c, 0)),
     }
     return samples, info_out

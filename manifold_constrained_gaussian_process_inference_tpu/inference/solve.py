@@ -189,11 +189,12 @@ def solve_magi(
 
     ``initial_params`` optionally supplies the full Psi_0 =
     [vec(x); theta; log(sigma)] (parity: MagiJl.jl:175,526-569).
-    ``mesh`` shards the embarrassingly-parallel sampler axis across
-    devices (TPU-native extension): NUTS chains for ``sampler='nuts'``
-    (parallel/chains.py), PT replica ladders for ``sampler='pt-nuts'``
-    (tempering.py REPLICA_AXIS). ChEES pools adaptation statistics across
-    chains every iteration and stays single-device.
+    ``mesh`` shards the sampler axis across devices (TPU-native
+    extension): NUTS chains for ``sampler='nuts'`` (parallel/chains.py),
+    PT replica ladders for ``sampler='pt-nuts'`` (tempering.py
+    REPLICA_AXIS), and ChEES chains for ``sampler='chees'`` (chees.py —
+    the per-iteration cross-chain adaptation statistics ride psum/pmean
+    collectives over the chain axis).
     """
     config = config or MagiConfig()
     t_start = time.time()
@@ -571,11 +572,6 @@ def solve_magi(
     t_sample = time.time()
     with profile_cm:
         if config.sampler == "chees":
-            if mesh is not None:
-                raise MagiError(
-                    "sampler='chees' shares statistics across chains and is "
-                    "single-device; use sampler='nuts' with a mesh."
-                )
             from .chees import run_chees
 
             samples, info = run_chees(
@@ -590,6 +586,7 @@ def solve_magi(
                 progress=config.verbose,
                 criterion=config.chees_criterion,
                 checkpoint_path=config.checkpoint_path,
+                mesh=mesh,  # shards the chain axis; cross-chain stats psum
             )
         elif config.sampler == "pt-nuts":
             from .tempering import run_parallel_tempering

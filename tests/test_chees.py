@@ -108,6 +108,107 @@ def test_snaper_pc_converges_and_adapts_to_slow_direction():
     assert 0.5 * scales[0] ** 2 < v0 < 1.5 * scales[0] ** 2
 
 
+N_DEV = 8  # conftest forces an 8-device CPU mesh
+
+
+def _chain_mesh(n):
+    from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
+        make_chain_mesh,
+    )
+
+    return make_chain_mesh(n)
+
+
+def test_chees_mesh_transition_matches_single_device():
+    """One sharded chees_transition must match the single-device one: the
+    chain dynamics bitwise (per-chain keys -> identical momenta/accepts),
+    the cross-chain criterion gradient to reduction-order rounding."""
+    from jax.sharding import PartitionSpec as P
+
+    from manifold_constrained_gaussian_process_inference_tpu.inference.chees import (
+        CheesState,
+        chees_transition,
+    )
+
+    dim, c = 6, 16
+    rng = np.random.default_rng(0)
+    prec = jnp.eye(dim)
+    vg = jax.vmap(
+        jax.value_and_grad(lambda q: -0.5 * q @ prec @ q)
+    )
+    qs = jnp.asarray(rng.normal(size=(c, dim)))
+    logps, grads = vg(qs)
+    state = CheesState(
+        qs=qs, logps=logps, grads=grads,
+        keys=jax.random.split(jax.random.PRNGKey(7), c),
+        iteration=jnp.int32(5),
+    )
+    eps = jnp.asarray(0.2)
+    inv_mass = jnp.ones(dim)
+    traj = jnp.asarray(1.0)
+
+    st1, info1 = jax.jit(
+        lambda s: chees_transition(vg, s, eps, inv_mass, traj)
+    )(state)
+
+    mesh = _chain_mesh(N_DEV)
+    ax = mesh.axis_names[0]
+    spec = CheesState(qs=P(ax), logps=P(ax), grads=P(ax), keys=P(ax),
+                      iteration=P())
+    info_spec = {
+        "accept_prob": P(ax), "accepted": P(ax), "num_leapfrog": P(ax),
+        "energy": P(ax), "diverging": P(ax), "chees_grad": P(),
+        "traj_actual": P(),
+    }
+    sharded = jax.jit(jax.shard_map(
+        lambda s: chees_transition(vg, s, eps, inv_mass, traj, axis_name=ax),
+        mesh=mesh, in_specs=(spec,), out_specs=(spec, info_spec),
+        check_vma=False,
+    ))
+    st2, info2 = sharded(state)
+
+    # dynamics: bitwise identical (same per-chain keys, no cross-chain terms)
+    assert np.array_equal(np.asarray(st1.qs), np.asarray(st2.qs))
+    assert np.array_equal(np.asarray(info1["accepted"]),
+                          np.asarray(info2["accepted"]))
+    # cross-chain statistic: equal up to reduction order
+    np.testing.assert_allclose(
+        float(info1["chees_grad"]), float(info2["chees_grad"]),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_chees_mesh_e2e_gaussian_and_deterministic():
+    """run_chees over the 8-device mesh: recovers an anisotropic Gaussian,
+    and two identical mesh runs are bitwise equal."""
+    d = 3
+    scales = np.array([1.0, 2.0, 0.5])
+    vg = jax.value_and_grad(
+        lambda q: -0.5 * jnp.sum((q / jnp.asarray(scales)) ** 2)
+    )
+    mesh = _chain_mesh(N_DEV)
+    kwargs = dict(n_samples=1200, n_adapts=600, mesh=mesh)
+    s1, info1 = run_chees(
+        vg, jnp.zeros((16, d)), jax.random.PRNGKey(0), **kwargs
+    )
+    s2, _ = run_chees(
+        vg, jnp.zeros((16, d)), jax.random.PRNGKey(0), **kwargs
+    )
+    assert np.array_equal(s1, s2)
+    s = s1.reshape(-1, d)
+    assert np.all(np.abs(s.mean(0)) < 0.25 * scales)
+    assert np.all(np.abs(s.var(0) / scales**2 - 1.0) < 0.3)
+    assert 0.5 < info1["accept_prob"].mean() <= 1.0
+
+
+def test_chees_mesh_chain_count_mismatch_raises():
+    vg = jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
+    mesh = _chain_mesh(N_DEV)
+    with pytest.raises(ValueError, match="multiple of mesh size"):
+        run_chees(vg, jnp.zeros((6, 2)), jax.random.PRNGKey(0), 20, 10,
+                  mesh=mesh)
+
+
 def test_snaper_pc_estimate_is_principal_direction():
     """The Oja estimate must converge to the leading eigenvector when fed
     draws from an anisotropic Gaussian."""
