@@ -399,6 +399,20 @@ def main():
     vg_dev = target.value_and_grad_fn()
     v_dev, g_dev = vg_dev(jnp.asarray(psi0, target.data.mask.dtype))
     cpu_rate, vg_np = bench_numpy_reference(host, psi0)
+    # The reference bound must use the rate the reference COULD achieve on
+    # this machine. A concurrent process (e.g. a long CPU benchmark run)
+    # deflates the live measurement, which would deflate the bound and
+    # inflate vs_baseline; clamp to the best uncontended rate measured on
+    # this host (1,214 evals/s, docs/BENCHMARKS.md) so contention can only
+    # make our claimed advantage SMALLER, never larger.
+    CPU_RATE_UNCONTENDED = 1214.0
+    if cpu_rate < CPU_RATE_UNCONTENDED:
+        log(
+            f"cpu reference rate {cpu_rate:,.0f} evals/s below the known "
+            f"uncontended rate; clamping the bound to "
+            f"{CPU_RATE_UNCONTENDED:,.0f} (conservative for vs_baseline)"
+        )
+        cpu_rate = CPU_RATE_UNCONTENDED
     v_np, g_np = vg_np(psi0)
     rel = abs(float(v_dev) - v_np) / max(abs(v_np), 1.0)
     gerr = float(

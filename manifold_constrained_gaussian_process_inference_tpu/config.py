@@ -87,10 +87,15 @@ class MagiConfig:
     seed: int = 0
     # "nuts" (reference-equivalent sampler), "chees" (ChEES-HMC, Hoffman et
     # al. 2021: jittered fixed-length HMC, chains batch into single tensor
-    # ops; best with n_chains >= 8, single-device), or "pt-nuts" (parallel
-    # tempering: a ladder of pt_temps tempered NUTS chains with Metropolis
-    # swaps — crosses posterior modes single chains cannot; returns the
-    # T=1 chain's draws).
+    # ops; best with n_chains >= 8), or "pt-nuts" (parallel tempering: a
+    # ladder of pt_temps tempered NUTS chains with Metropolis swaps —
+    # crosses posterior modes single chains cannot; returns the T=1
+    # chain's draws).
+    # "chees" is EXPERIMENTAL on MAGI posteriors: validated head-to-head
+    # vs NUTS on the FN workload (docs/BENCHMARKS.md config 7), its
+    # trajectory-length adaptation converged on only 1 of 3 seeds
+    # (R-hat 1.44-1.57 on the others) and its best-seed ESS was ~3.4x
+    # below NUTS on the same posterior. Use "nuts" for production.
     sampler: str = "nuts"
     # Trajectory-length criterion for sampler='chees': "snaper" (principal-
     # component projection — robust on multiscale targets) or "chees"
