@@ -390,6 +390,11 @@ def bench_numpy_reference(host, psi0, n_evals=60):
 
 
 def main():
+    from manifold_constrained_gaussian_process_inference_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     target, psi0, host = build_workload()
     log(f"workload: n={target.n_times}, D={target.n_dims}, psi dim={psi0.shape[0]}")
 

@@ -198,6 +198,12 @@ def solve_magi(
     """
     config = config or MagiConfig()
     t_start = time.time()
+    # Persistent XLA compilation cache: repeat processes (benchmark
+    # reruns, resumed jobs) skip minutes of first-compile stalls.
+    # Opt out with MAGI_DISABLE_COMPILE_CACHE=1 (utils/compile_cache.py).
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     y_obs = np.asarray(y_obs, dtype=np.float64)
     t_obs = np.asarray(t_obs, dtype=np.float64)
     if y_obs.ndim != 2:

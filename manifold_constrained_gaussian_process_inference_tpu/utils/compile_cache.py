@@ -1,0 +1,60 @@
+"""Persistent XLA compilation cache (TPU-native quality-of-life).
+
+First compiles of large sampling programs on a TPU runtime can take
+minutes (and on a remote-compile relay, much longer); every fresh process
+pays them again. JAX's persistent compilation cache serializes compiled
+executables to disk keyed by (HLO, compile options, backend), so repeat
+processes — reruns of a benchmark, resumed production jobs, the
+examples — skip straight to execution. Measured on this relay: a
+cross-process rerun of a scan-heavy program drops from full compile time
+to ~0.1 s load time.
+
+The reference has no equivalent (Julia caches natively per-process only;
+SURVEY.md §5.7). Enabled by default from solve_magi and bench.py; opt
+out with MAGI_DISABLE_COMPILE_CACHE=1 or point MAGI_COMPILE_CACHE_DIR
+somewhere else (default: <repo>/.jax_cache, git-ignored).
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger("magi.compile_cache")
+
+_ENABLED = False
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Idempotently enable JAX's persistent compilation cache.
+
+    Returns the cache directory in use, or None when disabled via
+    MAGI_DISABLE_COMPILE_CACHE=1 (or when jax.config rejects the setting
+    — older jax versions — in which case this is a silent no-op).
+    """
+    global _ENABLED
+    if os.environ.get("MAGI_DISABLE_COMPILE_CACHE", "") == "1":
+        return None
+    if path is None:
+        path = os.environ.get("MAGI_COMPILE_CACHE_DIR")
+    if path is None:
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(pkg_root, ".jax_cache")
+    if _ENABLED:
+        return path
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache every program: sampling chunks dominate, but setup
+        # programs (GP covariance pushes, GN-MAP steps) also re-trace
+        # identically across runs and are worth the disk.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - version-dependent
+        logger.debug("persistent compilation cache unavailable: %s", e)
+        return None
+    _ENABLED = True
+    logger.info("persistent XLA compilation cache at %s", path)
+    return path
