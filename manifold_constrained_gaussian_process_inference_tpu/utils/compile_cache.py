@@ -40,13 +40,31 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         pkg_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        path = os.path.join(pkg_root, ".jax_cache")
+        # Key the default dir by the requested platform: relay-compiled
+        # executables embed the COMPILE machine's CPU features, and
+        # loading them in a local-CPU process trips XLA's machine-type
+        # check (cpu_aot_loader: "could lead to ... SIGILL").
+        platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
+        path = os.path.join(
+            pkg_root, ".jax_cache", platform.replace(",", "_")
+        )
     if _ENABLED:
         return path
     try:
         import jax
 
+        redirect = (
+            getattr(jax.config, "jax_compilation_cache_dir", None)
+            not in (None, path)
+        )
         jax.config.update("jax_compilation_cache_dir", path)
+        if redirect:
+            # jax materializes its on-disk cache object lazily and then
+            # pins it: a config update alone won't move an already-
+            # initialized cache to the new directory.
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
         # Cache every program: sampling chunks dominate, but setup
         # programs (GP covariance pushes, GN-MAP steps) also re-trace
         # identically across runs and are worth the disk.
