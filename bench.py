@@ -8,10 +8,12 @@ prior temperatures the reference's own E2E test asserts recovery on
 (test/runtests.jl:65-115; see the BETA note below for why not [1,1,5]).
 
 Headline: min-theta ESS/sec of the PRODUCTION stack (NLML init -> staged
-Gauss-Newton MAP -> Laplace whitening -> 16 vmapped NUTS chains with the
-cross-chain pooled dense metric), i.e. what `solve_magi(...,
-sampler='nuts', n_chains=16, mass_matrix='dense-pooled',
-x_whitened=True)` delivers, measured over TOTAL wall time (setup +
+Gauss-Newton MAP -> Laplace whitening -> 64 vmapped NUTS chains with the
+cross-chain pooled dense metric, target accept 0.95), i.e. what
+`solve_magi(..., sampler='nuts', n_chains=64, mass_matrix='dense-pooled',
+x_whitened=True, target_accept_ratio=0.95)` delivers (the measured
+ESS/sec optimum of the chain-count sweep — benchmarks/chain_sweep.jsonl),
+reported as the MEDIAN over seeds {42, 7, 123} over TOTAL wall (setup +
 compile + warmup + sampling). Single-basin sampling, matching what the
 reference's own chain samples at this protocol (BENCHMARKS.md
 multimodality notes; PT explores the full tempered posterior).

@@ -26,8 +26,36 @@ def fmt(x, nd=3):
     return f"{x:.{nd}g}" if isinstance(x, float) else str(x)
 
 
+def render_basin(path):
+    """Render basin_reference.jsonl: production vs trusted gold occupancy."""
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    rows.sort(key=lambda r: (r.get("mode", ""), r.get("seed", 0)))
+    print("| arm | seed | iters x replicas | occupancy (data basin) "
+          "| basin ESS | theta RMSE (occupied basin) | swap acc | div |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r.get('mode')} | {r.get('seed')} | ERROR: "
+                  f"{r['error']} | | | | | |")
+            continue
+        occ = f"{r['frac_data_basin']:.3f} ± {r['frac_data_basin_se']:.3f}"
+        reps = 2 if r["mode"] == "trusted" else 4
+        rmse = r.get("theta_rmse_inflated_basin"
+                     if r.get("n_data_basin", 0) == 0
+                     else "theta_rmse_data_basin", r.get("theta_rmse"))
+        print(
+            f"| {r['mode']} | {r['seed']} | {r['niter']} x {reps} "
+            f"| {occ} | {fmt(r.get('basin_indicator_ess'), 4)} "
+            f"| {fmt(rmse)} | {fmt(r.get('swap_acceptance'))} "
+            f"| {r.get('n_divergent', '-')} |"
+        )
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/results_r3.jsonl"
+    if "basin" in path:
+        render_basin(path)
+        return
     rows = [json.loads(l) for l in open(path) if l.strip()]
     rows.sort(key=lambda r: (r.get("config", 99), r.get("seed", 0)))
 
