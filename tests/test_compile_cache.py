@@ -25,6 +25,25 @@ def test_disable_env_var(monkeypatch, tmp_path):
     assert compile_cache.enable_persistent_cache(str(tmp_path)) is None
 
 
+def test_default_dir_is_platform_keyed(monkeypatch):
+    """Default cache dirs are keyed by JAX_PLATFORMS: relay-compiled CPU
+    executables embed the compile machine's CPU features and must never
+    be loaded by a local-CPU process (XLA cpu_aot_loader SIGILL check)."""
+    monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("MAGI_COMPILE_CACHE_DIR", raising=False)
+    dirs = {}
+    for plat in ("cpu", "axon", ""):
+        if plat:
+            monkeypatch.setenv("JAX_PLATFORMS", plat)
+        else:
+            monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        monkeypatch.setattr(compile_cache, "_ENABLED", False)
+        dirs[plat or "default"] = compile_cache.enable_persistent_cache()
+    assert len(set(dirs.values())) == 3
+    assert dirs["cpu"].endswith(os.path.join(".jax_cache", "cpu"))
+    assert dirs["axon"].endswith(os.path.join(".jax_cache", "axon"))
+
+
 def test_cache_round_trip(tmp_path, monkeypatch):
     """Compiled executables land in the cache dir and reload cleanly."""
     monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
