@@ -24,6 +24,21 @@ logger = logging.getLogger("magi.compile_cache")
 _ENABLED = False
 
 
+def _platform() -> str:
+    """Platform key for the default cache dir. Prefers the live config
+    value — scripts that flip platform in-process via
+    jax.config.update("jax_platforms", ...) after startup are not
+    reflected in the env var."""
+    plat = os.environ.get("JAX_PLATFORMS", "") or "default"
+    try:
+        import jax
+
+        plat = getattr(jax.config, "jax_platforms", None) or plat
+    except Exception:  # pragma: no cover - jax always importable here
+        pass
+    return plat
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Idempotently enable JAX's persistent compilation cache.
 
@@ -44,9 +59,8 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         # executables embed the COMPILE machine's CPU features, and
         # loading them in a local-CPU process trips XLA's machine-type
         # check (cpu_aot_loader: "could lead to ... SIGILL").
-        platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
         path = os.path.join(
-            pkg_root, ".jax_cache", platform.replace(",", "_")
+            pkg_root, ".jax_cache", _platform().replace(",", "_")
         )
     if _ENABLED:
         return path

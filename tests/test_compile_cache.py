@@ -31,15 +31,14 @@ def test_default_dir_is_platform_keyed(monkeypatch):
     be loaded by a local-CPU process (XLA cpu_aot_loader SIGILL check)."""
     monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
     monkeypatch.delenv("MAGI_COMPILE_CACHE_DIR", raising=False)
+    # the live config value wins: this suite runs with jax_platforms=cpu
+    assert compile_cache._platform() == "cpu"
     dirs = {}
-    for plat in ("cpu", "axon", ""):
-        if plat:
-            monkeypatch.setenv("JAX_PLATFORMS", plat)
-        else:
-            monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    for plat in ("cpu", "axon"):
+        monkeypatch.setattr(compile_cache, "_platform", lambda p=plat: p)
         monkeypatch.setattr(compile_cache, "_ENABLED", False)
-        dirs[plat or "default"] = compile_cache.enable_persistent_cache()
-    assert len(set(dirs.values())) == 3
+        dirs[plat] = compile_cache.enable_persistent_cache()
+    assert dirs["cpu"] != dirs["axon"]
     assert dirs["cpu"].endswith(os.path.join(".jax_cache", "cpu"))
     assert dirs["axon"].endswith(os.path.join(".jax_cache", "axon"))
 
