@@ -13,6 +13,9 @@ from manifold_constrained_gaussian_process_inference_tpu.inference.checkpoint im
 from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
     run_chains,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sampler E2E; fast suite = -m "not slow"
 
 
 def _vg():

@@ -11,6 +11,8 @@ from manifold_constrained_gaussian_process_inference_tpu.inference.chees import 
     run_chees,
 )
 
+pytestmark = pytest.mark.slow  # heavy sampler E2E; fast suite = -m "not slow"
+
 
 def test_halton_sequence_uniform():
     vals = np.array([float(halton(jnp.int32(i))) for i in range(64)])

@@ -20,6 +20,8 @@ from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import 
     run_chains,
 )
 
+pytestmark = pytest.mark.slow  # heavy sampler E2E; fast suite = -m "not slow"
+
 N_DEV = len(jax.devices())
 
 

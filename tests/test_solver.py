@@ -74,6 +74,7 @@ def test_fixed_phi_sigma_smoke():
     assert res.diagnostics["sigma_is_fixed"]
 
 
+@pytest.mark.slow
 def test_sigma_sampling_recovery():
     """Joint sigma sampling recovers theta and sigma within (scaled) tolerance
     (test/runtests.jl:57-115: sigma atol 0.3, theta atol 0.5 at 10k iters;

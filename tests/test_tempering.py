@@ -13,6 +13,8 @@ from manifold_constrained_gaussian_process_inference_tpu.inference.tempering imp
     run_parallel_tempering,
 )
 
+pytestmark = pytest.mark.slow  # heavy sampler E2E; fast suite = -m "not slow"
+
 
 def test_geometric_ladder():
     t = geometric_ladder(5, 16.0)

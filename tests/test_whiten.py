@@ -89,6 +89,7 @@ def test_whitened_curvature_near_unit(problem):
     assert np.median(ev) == pytest.approx(1.0, abs=0.3)
 
 
+@pytest.mark.slow
 def test_solver_whitened_matches_raw_posterior():
     rng = np.random.default_rng(3)
     n = 15
@@ -108,6 +109,7 @@ def test_solver_whitened_matches_raw_posterior():
     assert np.all(np.isfinite(res_wh.theta))
 
 
+@pytest.mark.slow
 def test_gn_map_converges_at_reference_protocol(caplog):
     """Regression for VERDICT r1 item 7: staged GN-MAP must reach the mode
     (no iteration-cap warning) on the reference FN protocol — n=397

@@ -9,6 +9,9 @@ from manifold_constrained_gaussian_process_inference_tpu.inference.solve import 
     solve_magi,
 )
 from manifold_constrained_gaussian_process_inference_tpu.models import FN_SYSTEM
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sampler E2E; fast suite = -m "not slow"
 
 
 def test_whitened_solve_float32():
