@@ -47,6 +47,73 @@ def log(*a):
 
 
 # ---------------------------------------------------------------------------
+# Backend acquisition (relay-outage resilience)
+# ---------------------------------------------------------------------------
+
+def _is_backend_unavailable(exc: BaseException) -> bool:
+    """The axon TPU relay reports transient outages as RuntimeError
+    'Unable to initialize backend ... UNAVAILABLE' (BENCH_r03.json died on
+    exactly this at its first device_put). Match broadly but only on
+    backend-init shapes, not arbitrary RuntimeErrors."""
+    msg = str(exc)
+    return (
+        "Unable to initialize backend" in msg
+        or "UNAVAILABLE" in msg
+        or "Backend 'axon' failed to initialize" in msg
+    )
+
+
+def wait_for_backend(max_wait_s: float = 900.0, poll_s: float = 30.0) -> bool:
+    """Poll jax.devices() until the backend comes up, with backoff bounded
+    by CLAUDE.md's documented relay-outage window (2-15 min). Clears JAX's
+    backend cache between attempts so each retry re-runs initialization.
+    Returns True if a backend is live, False if the window expired."""
+    import jax
+
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        try:
+            devs = jax.devices()
+            if attempt:
+                log(f"backend up after {time.perf_counter() - t0:.0f}s: {devs}")
+            return True
+        except Exception as e:  # backend-init failures are RuntimeError
+            if not _is_backend_unavailable(e):
+                raise
+            waited = time.perf_counter() - t0
+            if waited >= max_wait_s:
+                log(f"backend still unavailable after {waited:.0f}s: {e}")
+                return False
+            log(
+                f"backend unavailable (attempt {attempt}, {waited:.0f}s "
+                f"elapsed); retrying in {poll_s:.0f}s: {e}"
+            )
+            try:  # reset cached init failure so the retry re-attempts
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(poll_s)
+            attempt += 1
+
+
+def _retry_on_outage(fn, *args, stage="stage", **kwargs):
+    """Run a bench stage; if the relay drops mid-run, wait out the outage
+    once and retry the stage, rather than losing the whole artifact."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:
+        if not _is_backend_unavailable(e):
+            raise
+        log(f"{stage}: backend dropped mid-run ({e}); waiting for relay")
+        if not wait_for_backend():
+            raise
+        return fn(*args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # Workload construction
 # ---------------------------------------------------------------------------
 
@@ -397,6 +464,10 @@ def main():
     )
 
     enable_persistent_cache()
+    # Acquire the backend FIRST, riding out relay outages (round 3's entire
+    # TPU record was lost to a transient init failure at first device_put).
+    if not wait_for_backend():
+        log("proceeding anyway; stages will fail with backend errors")
     target, psi0, host = build_workload()
     log(f"workload: n={target.n_times}, D={target.n_dims}, psi dim={psi0.shape[0]}")
 
@@ -453,7 +524,7 @@ def main():
     # worker before) — degrade gracefully.
     ref_ess_per_sec = None
     try:
-        nuts = bench_nuts_ess(target, psi0)
+        nuts = _retry_on_outage(bench_nuts_ess, target, psi0, stage="nuts")
         log(f"raw-geometry nuts: {nuts}")
         ess_per_grad = nuts["ess_min"] / max(nuts["grad_evals"], 1.0)
         ref_ess_per_sec = cpu_rate * ess_per_grad
@@ -475,7 +546,9 @@ def main():
     prods = {}
     for seed in PRODUCTION_SEEDS:
         try:
-            prod = bench_production(host, seed=seed)
+            prod = _retry_on_outage(
+                bench_production, host, seed=seed, stage=f"production[{seed}]"
+            )
             log(f"production stack (seed {seed}): {prod}")
             prods[seed] = prod
         except Exception as e:  # pragma: no cover
@@ -484,13 +557,19 @@ def main():
 
     if prods:
         rates = np.array([p["ess_per_sec"] for p in prods.values()])
-        med_seed = sorted(prods, key=lambda s: prods[s]["ess_per_sec"])[
-            (len(prods) - 1) // 2
-        ]
+        headline = float(np.median(rates))
+        # Detail fields come from the seed whose rate is CLOSEST to the
+        # reported median, so headline and supporting fields describe the
+        # same run even when a failed seed leaves an even count (with an
+        # even count np.median averages the middle pair).
+        med_seed = min(
+            prods, key=lambda s: abs(prods[s]["ess_per_sec"] - headline)
+        )
         p_med = prods[med_seed]
         result.update(
-            value=round(float(np.median(rates)), 3),
+            value=round(headline, 3),
             production_seeds=list(prods.keys()),
+            production_detail_seed=med_seed,
             production_ess_per_sec_min=round(float(rates.min()), 3),
             production_ess_per_sec_per_seed={
                 str(s): round(p["ess_per_sec"], 3) for s, p in prods.items()
@@ -521,9 +600,7 @@ def main():
                 "swap_acceptance_per_pair"
             ]
         if ref_ess_per_sec:
-            result["vs_baseline"] = round(
-                float(np.median(rates)) / ref_ess_per_sec, 1
-            )
+            result["vs_baseline"] = round(headline / ref_ess_per_sec, 1)
     else:
         # Degraded headline: fall back to the grad-rate metric so the
         # driver still records a number.

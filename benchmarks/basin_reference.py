@@ -115,6 +115,7 @@ def main():
             out = {"error": f"{type(e).__name__}: {e}"}
         out.update(
             mode=args.mode, fill=args.fill, niter=niter, seed=seed,
+            pt_replicas=cfg.pt_replicas,
             n_grid=len(data["t_grid"]),
             time_s=round(time.perf_counter() - t0, 1),
         )

@@ -39,7 +39,9 @@ def render_basin(path):
                   f"{r['error']} | | | | | |")
             continue
         occ = f"{r['frac_data_basin']:.3f} ± {r['frac_data_basin_se']:.3f}"
-        reps = 2 if r["mode"] == "trusted" else 4
+        # Recorded with the row since round 4; older rows predate the field
+        # and used the then-hardcoded mode defaults.
+        reps = r.get("pt_replicas", 2 if r["mode"] == "trusted" else 4)
         rmse = r.get("theta_rmse_inflated_basin"
                      if r.get("n_data_basin", 0) == 0
                      else "theta_rmse_data_basin", r.get("theta_rmse"))

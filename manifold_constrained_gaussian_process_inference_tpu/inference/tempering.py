@@ -190,6 +190,13 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
         qs = jnp.where(do_swap[:, None], qs[partner], qs)
         grads = jnp.where(do_swap[:, None], grads[partner], grads)
         lp = jnp.where(do_swap, lp_partner, lp)
+        # Divergence flags travel WITH the positions: the emitted qs are
+        # post-swap, so the flag consumed by the pooled-metric filter (and
+        # any per-rung diagnostic) must be permuted identically or a swap
+        # would drop the healthy partner draw and keep the divergent-stuck
+        # one. Both pair members swap together, so totals are preserved.
+        diverging = jnp.where(do_swap, stats.diverging[partner],
+                              stats.diverging)
 
         # Per-pair bookkeeping at the pair's left index (last slot unused).
         n_try = carry.n_swap_try + (valid & is_left).astype(jnp.int32)
@@ -228,7 +235,7 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
         )
         out = (
             qs if emit_all else qs[0],
-            lp[0], stats.diverging, stats.num_leapfrog,
+            lp[0], diverging, stats.num_leapfrog,
         )
         return new, out
 

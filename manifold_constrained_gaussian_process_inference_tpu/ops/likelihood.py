@@ -78,10 +78,21 @@ class LikelihoodData(NamedTuple):
     dotmu: jnp.ndarray   # (n, D) its time derivative
 
 
+def _canonical_dtype(dtype):
+    """Canonicalize through JAX: under a non-x64 process a float64 request
+    (e.g. from f64 host GPCov bands) would otherwise emit a truncation
+    UserWarning on every jnp.asarray (seen in the multichip-dryrun child
+    processes). Maps f64 -> f32 silently there; identity under x64."""
+    from jax import dtypes as _jdt
+
+    return _jdt.canonicalize_dtype(np.dtype(dtype))
+
+
 def _resolve_mean(mu, dotmu, n, d, dtype):
     """Broadcast user-provided GP means to (n, D); zeros by default
     (reference parity: GPCov.mu/dotmu are always zero,
     gaussian_process.jl:244-245)."""
+    dtype = _canonical_dtype(dtype)
     if mu is None:
         mu_arr = np.zeros((n, d))
     else:
@@ -109,6 +120,7 @@ def make_likelihood_data(
     reference's isfinite handling (likelihoods.jl:122-127)."""
     if dtype is None:
         dtype = gp_cov.Cinv_band.dtype
+    dtype = _canonical_dtype(dtype)
     yobs = np.asarray(yobs, dtype=np.float64)
     mask = np.isfinite(yobs)
     n, d = yobs.shape
@@ -222,6 +234,7 @@ def make_banded_likelihood_data(
 
     if dtype is None:
         dtype = gp_cov.Cinv_band.dtype
+    dtype = _canonical_dtype(dtype)
     yobs = np.asarray(yobs, dtype=np.float64)
     mask = np.isfinite(yobs)
     b = gp_cov.bandsize

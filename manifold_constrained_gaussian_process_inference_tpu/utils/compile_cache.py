@@ -21,7 +21,13 @@ import os
 
 logger = logging.getLogger("magi.compile_cache")
 
-_ENABLED = False
+# Directory the live jax_compilation_cache_dir points at (None = never
+# enabled). Tracked by PATH, not a boolean: an in-process platform switch
+# (jax.config.update("jax_platforms", ...)) changes the computed default
+# dir, and returning the new path while the config still pins the old
+# platform's directory would re-open the cross-platform executable
+# contamination (cpu_aot_loader SIGILL) the platform keying prevents.
+_ENABLED_PATH: str | None = None
 
 
 def _platform() -> str:
@@ -46,7 +52,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     MAGI_DISABLE_COMPILE_CACHE=1 (or when jax.config rejects the setting
     — older jax versions — in which case this is a silent no-op).
     """
-    global _ENABLED
+    global _ENABLED_PATH
     if os.environ.get("MAGI_DISABLE_COMPILE_CACHE", "") == "1":
         return None
     if path is None:
@@ -62,7 +68,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         path = os.path.join(
             pkg_root, ".jax_cache", _platform().replace(",", "_")
         )
-    if _ENABLED:
+    if _ENABLED_PATH == path:
         return path
     try:
         import jax
@@ -87,6 +93,6 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     except Exception as e:  # pragma: no cover - version-dependent
         logger.debug("persistent compilation cache unavailable: %s", e)
         return None
-    _ENABLED = True
+    _ENABLED_PATH = path
     logger.info("persistent XLA compilation cache at %s", path)
     return path

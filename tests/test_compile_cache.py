@@ -10,7 +10,7 @@ from manifold_constrained_gaussian_process_inference_tpu.utils import (
 
 def test_enable_sets_cache_dir(tmp_path, monkeypatch):
     monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
-    monkeypatch.setattr(compile_cache, "_ENABLED", False)
+    monkeypatch.setattr(compile_cache, "_ENABLED_PATH", None)
     d = str(tmp_path / "cache")
     got = compile_cache.enable_persistent_cache(d)
     assert got == d
@@ -21,7 +21,7 @@ def test_enable_sets_cache_dir(tmp_path, monkeypatch):
 
 def test_disable_env_var(monkeypatch, tmp_path):
     monkeypatch.setenv("MAGI_DISABLE_COMPILE_CACHE", "1")
-    monkeypatch.setattr(compile_cache, "_ENABLED", False)
+    monkeypatch.setattr(compile_cache, "_ENABLED_PATH", None)
     assert compile_cache.enable_persistent_cache(str(tmp_path)) is None
 
 
@@ -36,17 +36,34 @@ def test_default_dir_is_platform_keyed(monkeypatch):
     dirs = {}
     for plat in ("cpu", "axon"):
         monkeypatch.setattr(compile_cache, "_platform", lambda p=plat: p)
-        monkeypatch.setattr(compile_cache, "_ENABLED", False)
         dirs[plat] = compile_cache.enable_persistent_cache()
     assert dirs["cpu"] != dirs["axon"]
     assert dirs["cpu"].endswith(os.path.join(".jax_cache", "cpu"))
     assert dirs["axon"].endswith(os.path.join(".jax_cache", "axon"))
 
 
+def test_platform_switch_redirects_live_config(monkeypatch):
+    """After an in-process platform switch, a later enable call must MOVE
+    jax_compilation_cache_dir to the new platform's directory — not return
+    the new path while the config stays pinned to the old one (the
+    round-3 advisor finding: stale dir re-opens the cross-platform
+    executable contamination hazard)."""
+    monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("MAGI_COMPILE_CACHE_DIR", raising=False)
+    monkeypatch.setattr(compile_cache, "_platform", lambda: "cpu")
+    p1 = compile_cache.enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir == p1
+    # simulate jax.config.update("jax_platforms", "axon") happening later
+    monkeypatch.setattr(compile_cache, "_platform", lambda: "axon")
+    p2 = compile_cache.enable_persistent_cache()
+    assert p2 != p1
+    assert jax.config.jax_compilation_cache_dir == p2
+
+
 def test_cache_round_trip(tmp_path, monkeypatch):
     """Compiled executables land in the cache dir and reload cleanly."""
     monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
-    monkeypatch.setattr(compile_cache, "_ENABLED", False)
+    monkeypatch.setattr(compile_cache, "_ENABLED_PATH", None)
     d = str(tmp_path / "cache")
     compile_cache.enable_persistent_cache(d)
     import jax.numpy as jnp
