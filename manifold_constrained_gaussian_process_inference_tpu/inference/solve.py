@@ -177,6 +177,75 @@ def map_warm_start(
     return np.asarray(psi_opt, dtype=np.float64)
 
 
+def _run_resumed(vg, ckpt, config: MagiConfig, dtype):
+    """Dispatch a resumed sampling leg to the sampler's resumed runner and
+    normalize its info dict to the (C, S) layout solve_magi's results
+    processing expects (the same normalization the fresh-run branches do).
+    Returns (samples (C, S, dim), info, n_chains)."""
+    if config.sampler == "chees":
+        from .chees import run_chees_resumed
+
+        samples, info, _ = run_chees_resumed(
+            vg, ckpt, n_samples=config.niter_hmc,
+            chunk_size=config.chunk_size, dtype=dtype,
+            checkpoint_path=config.checkpoint_path,
+            progress=config.verbose,
+        )
+        info = dict(info)
+        n_chains = samples.shape[0]
+    elif config.sampler == "pt-nuts":
+        from .tempering import run_parallel_tempering_resumed
+
+        s_pt, info, _ = run_parallel_tempering_resumed(
+            vg, ckpt, n_samples=config.niter_hmc,
+            target_accept=config.target_accept_ratio,
+            max_depth=config.max_tree_depth,
+            chunk_size=config.chunk_size, dtype=dtype,
+            checkpoint_path=config.checkpoint_path,
+            progress=config.verbose,
+        )
+        # Same (C, S) normalization as the fresh pt-nuts branch: each
+        # replica's cold (T=1) rung is one posterior chain. The replica
+        # count comes from the checkpoint shape.
+        info = dict(info)
+        if s_pt.ndim == 2:  # single ladder: (S, dim)
+            n_chains = 1
+            samples = s_pt[None]
+            info["lp"] = info["lp"][None]
+            info["diverging"] = info["diverging"][:, 0][None]
+            info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+            info["final_psi"] = info["final_psi"][:1]
+        else:  # (R, S, dim)
+            n_chains = s_pt.shape[0]
+            samples = s_pt
+            info["lp"] = info["lp"].T
+            info["diverging"] = info["diverging"][:, :, 0].T
+            info["num_leapfrog"] = info["num_leapfrog"][:, :, 0].T
+            info["final_psi"] = info["final_psi"][:, 0]
+    elif config.sampler == "nuts":
+        from .checkpoint import run_chains_resumed, save_checkpoint
+
+        samples, info, new_ckpt = run_chains_resumed(
+            vg, ckpt, n_samples=config.niter_hmc,
+            max_depth=config.max_tree_depth, dtype=dtype,
+        )
+        info = dict(info)
+        info["final_psi"] = new_ckpt.psi
+        info["final_key"] = new_ckpt.key
+        n_chains = samples.shape[0]
+        if config.checkpoint_path:
+            save_checkpoint(config.checkpoint_path, new_ckpt)
+    else:
+        raise MagiError(f"unknown sampler '{config.sampler}'")
+    # Per-transition stats the resumed runners do not track.
+    lp = np.asarray(info["lp"])
+    info.setdefault("accept_prob", np.ones_like(lp))
+    info.setdefault("tree_depth", np.zeros_like(lp))
+    info.setdefault("energy", np.zeros_like(lp))
+    info["warmup_diverging"] = np.zeros((n_chains, 0))
+    return samples, info, n_chains
+
+
 def solve_magi(
     y_obs: np.ndarray,
     t_obs: np.ndarray,
@@ -184,6 +253,7 @@ def solve_magi(
     config: Optional[MagiConfig] = None,
     initial_params: Optional[np.ndarray] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    resume=None,
 ) -> MagiResult:
     """Solve the MAGI inference problem. See MagiConfig for options.
 
@@ -195,6 +265,21 @@ def solve_magi(
     REPLICA_AXIS), and ChEES chains for ``sampler='chees'`` (chees.py —
     the per-iteration cross-chain adaptation statistics ride psum/pmean
     collectives over the chain axis).
+
+    ``resume`` continues a previous run instead of warming up: pass the
+    checkpoint written by that run (``config.checkpoint_path``, or
+    ``checkpoint_from_result(result)``) either as a loaded object — a
+    ``SamplerCheckpoint`` for ``sampler='nuts'``/``'chees'``, the dict
+    from ``load_pt_checkpoint`` for ``'pt-nuts'`` — or as the ``.npz``
+    path. The call must use the SAME data and config as the original run
+    (the deterministic setup — NLML init, GP covariance, whitening mode —
+    is re-derived so the checkpointed positions keep their meaning), and
+    ``niter_hmc`` then counts ADDITIONAL post-warmup draws: step size,
+    metric, temperature ladder, and trajectory length stay frozen at
+    their checkpointed (adapted) values. The sampler axis size (chains /
+    replicas) comes from the checkpoint, not the config. The reference
+    has no checkpointing at all (SURVEY.md §5.4); its only warm start is
+    ``initial_params``.
     """
     config = config or MagiConfig()
     t_start = time.time()
@@ -575,9 +660,33 @@ def solve_magi(
         if config.profile_dir else contextlib.nullcontext()
     )
 
+    if resume is not None:
+        if isinstance(resume, str):
+            if config.sampler == "pt-nuts":
+                from .tempering import load_pt_checkpoint
+
+                resume = load_pt_checkpoint(resume)
+            else:
+                from .checkpoint import load_checkpoint
+
+                resume = load_checkpoint(resume)
+        ck_dim = int(
+            np.asarray(
+                resume["qs"] if isinstance(resume, dict) else resume.psi
+            ).shape[-1]
+        )
+        if ck_dim != target.dimension:
+            raise MagiError(
+                f"resume checkpoint dimension {ck_dim} does not match the "
+                f"target dimension {target.dimension} — the resumed call "
+                "must use the same data and config as the original run."
+            )
+
     t_sample = time.time()
     with profile_cm:
-        if config.sampler == "chees":
+        if resume is not None:
+            samples, info, n_chains = _run_resumed(vg, resume, config, dtype)
+        elif config.sampler == "chees":
             from .chees import run_chees
 
             samples, info = run_chees(

@@ -163,6 +163,136 @@ def test_chees_checkpoint_resume(tmp_path):
     assert np.abs(pooled.var(0) - 1.0).max() < 0.35
 
 
+def _fn_problem():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4, 9)
+    y = np.stack([np.sin(t), np.cos(t)], -1) + 0.2 * rng.normal(size=(9, 2))
+    return y, t
+
+
+def test_solve_magi_resume_equals_uninterrupted(tmp_path):
+    """solve_magi(resume=ckpt) continues sampling so that a checkpointed
+    short run plus a resumed leg reproduces the uninterrupted run's draws:
+    identical warmup, then the resumed leg replays the same frozen-eps/
+    metric transitions from the saved carry (positions, PRNG keys). The
+    resumed leg is a DIFFERENT compiled program (it re-evaluates vg at the
+    carry; XLA fuses it differently), so draws agree to f64 fusion noise
+    (~1e-13 measured), not bitwise. VERDICT r3 item 4."""
+    import dataclasses
+
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+
+    y, t = _fn_problem()
+    base = dict(
+        seed=3, n_chains=2, chain_init_jitter=0.1,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    # 20 warmup + 40 kept, uninterrupted
+    long_cfg = MagiConfig(niter_hmc=60, burnin_ratio=1 / 3, **base)
+    res_long = m.solve_magi(y, t, FN_SYSTEM, long_cfg)
+    # same 20 warmup + first 20 kept, checkpointed
+    path = str(tmp_path / "resume.npz")
+    short_cfg = MagiConfig(
+        niter_hmc=40, burnin_ratio=0.5, checkpoint_path=path, **base
+    )
+    res_short = m.solve_magi(y, t, FN_SYSTEM, short_cfg)
+    # resumed leg: 20 more draws from the checkpoint path
+    res_more = m.solve_magi(
+        y, t, FN_SYSTEM,
+        dataclasses.replace(short_cfg, niter_hmc=20, checkpoint_path=None),
+        resume=path,
+    )
+    th_long = res_long.diagnostics["theta_per_chain"]   # (2, 40, 3)
+    th_short = res_short.diagnostics["theta_per_chain"]  # (2, 20, 3)
+    th_more = res_more.diagnostics["theta_per_chain"]    # (2, 20, 3)
+    # same program, same draws: warmup + first kept leg are bitwise equal
+    assert np.array_equal(th_long[:, :20], th_short)
+    # resumed leg: same transitions, different program -> ulp-level only
+    np.testing.assert_allclose(th_long[:, 20:], th_more, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        res_long.diagnostics["lp_per_chain"][:, 20:],
+        res_more.diagnostics["lp_per_chain"],
+        rtol=1e-10, atol=0,
+    )
+    # the loaded-object form resumes identically to the path form
+    ck = load_checkpoint(path)
+    res_obj = m.solve_magi(
+        y, t, FN_SYSTEM,
+        dataclasses.replace(short_cfg, niter_hmc=20, checkpoint_path=None),
+        resume=ck,
+    )
+    assert np.array_equal(
+        th_more, res_obj.diagnostics["theta_per_chain"]
+    )
+
+
+def test_solve_magi_resume_pt(tmp_path):
+    """solve_magi(resume=...) with sampler='pt-nuts' continues from the PT
+    checkpoint (frozen ladder/eps/metrics) and returns the normalized
+    multi-replica result contract."""
+    import dataclasses
+
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+
+    y, t = _fn_problem()
+    path = str(tmp_path / "pt.npz")
+    cfg = MagiConfig(
+        niter_hmc=40, seed=5, sampler="pt-nuts", pt_temps=3, pt_replicas=2,
+        checkpoint_path=path, chunk_size=10,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    m.solve_magi(y, t, FN_SYSTEM, cfg)
+    res = m.solve_magi(
+        y, t, FN_SYSTEM,
+        dataclasses.replace(cfg, niter_hmc=15, checkpoint_path=None),
+        resume=path,
+    )
+    d = res.diagnostics
+    assert d["n_chains"] == 2
+    assert d["theta_per_chain"].shape == (2, 15, 3)
+    assert np.all(np.isfinite(res.lp))
+    assert "swap_acceptance" in d
+
+
+def test_solve_magi_resume_dimension_mismatch(tmp_path):
+    """A checkpoint from different data/config is rejected up front."""
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.inference.solve import (
+        MagiError,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+
+    y, t = _fn_problem()
+    bad = SamplerCheckpoint(
+        psi=np.zeros((1, 7)), step_size=np.array([0.5]),
+        inv_mass=np.ones((1, 7)),
+        key=np.asarray(jax.random.split(jax.random.PRNGKey(0), 1)),
+    )
+    cfg = MagiConfig(
+        niter_hmc=10, sigma=[0.2, 0.2],
+        phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    with pytest.raises(MagiError, match="dimension"):
+        m.solve_magi(y, t, FN_SYSTEM, cfg, resume=bad)
+
+
 def test_nan_guard_passthrough():
     from manifold_constrained_gaussian_process_inference_tpu.utils.debugging import (
         nan_guard,
