@@ -325,11 +325,19 @@ def main():
 
     configs = [int(c) for c in args.configs.split(",")]
     seeds = [int(s) for s in args.seeds.split(",")]
+    # Relay-outage resilience (same policy as bench.py): wait out a down
+    # backend before each run and retry a run the relay dropped mid-flight,
+    # so one transient outage doesn't poison the sweep artifact.
+    import bench
+
     for idx in configs:
         for seed in seeds:
             log(f"=== config {idx}, seed {seed} ===")
+            bench.wait_for_backend()
             try:
-                out = run_config(idx, seed)
+                out = bench._retry_on_outage(
+                    run_config, idx, seed, stage=f"config{idx}/seed{seed}"
+                )
             except Exception as e:  # keep the sweep alive
                 out = {
                     "config": idx, "seed": seed,

@@ -105,6 +105,12 @@ class CheesAdaptState(NamedTuple):
     welford_m2: jnp.ndarray       # (dim,)
     inv_mass: jnp.ndarray         # (dim,)
     pc: jnp.ndarray               # (dim,) running principal component (SNAPER)
+    # Iterate average of log T (Hoffman et al. 2021 take the averaged — not
+    # final — Adam iterate into sampling, exactly like dual averaging's
+    # log_eps_avg; using the last noisy iterate was measured to leave 2/3
+    # seeds at a collapsed T (results_r3.jsonl config 7: T 1.4-2.1 vs the
+    # converged seed's 10.6, R-hat 1.44-1.57).
+    log_t_ema: jnp.ndarray        # scalar EMA of log(traj_length)
 
 
 def chees_init(
@@ -135,6 +141,7 @@ def chees_init(
         welford_m2=jnp.zeros((dim,), dtype),
         inv_mass=jnp.ones((dim,), dtype),
         pc=jnp.full((dim,), 1.0 / np.sqrt(dim), dtype),
+        log_t_ema=jnp.log(jnp.asarray(t0, dtype)),
     )
     return state, adapt
 
@@ -265,6 +272,7 @@ def chees_adapt_update(
     eps: jnp.ndarray,
     adam_lr: float = 0.025,
     axis_name: str | None = None,
+    t_ema_rate: float = 0.01,
 ) -> CheesAdaptState:
     """Warmup update: dual averaging on harmonic-mean acceptance, Adam on
     log T along the ChEES gradient, Welford over all chains. With
@@ -291,7 +299,12 @@ def chees_adapt_update(
     v = b2 * adapt.traj_adam_v + (1 - b2) * g * g
     mhat = m / (1 - b1**t)
     vhat = v / (1 - b2**t)
-    log_t = jnp.log(adapt.traj_length) + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    # Clip the per-step log-T move: right after an Adam reset (metric
+    # refresh) the bias-corrected ratio mhat/sqrt(vhat) is ~+-1 regardless
+    # of gradient scale, so a run of one-sided noise can walk T several
+    # octaves before v catches up.
+    step = jnp.clip(adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8), -0.1, 0.1)
+    log_t = jnp.log(adapt.traj_length) + step
     # Keep T within sane bounds relative to eps. The floor of 4 steps guards
     # against the coincident-start death spiral: with all chains at the same
     # point the criterion gradient is pure noise, and once T hits one step
@@ -299,6 +312,9 @@ def chees_adapt_update(
     traj_length = jnp.clip(
         jnp.exp(log_t), 4.0 * eps, eps * MAX_LEAPFROG
     ).astype(dtype)
+    log_t_ema = adapt.log_t_ema + t_ema_rate * (
+        jnp.log(traj_length) - adapt.log_t_ema
+    )
 
     # Welford over all chains' current draws
     count = adapt.welford_count + c_glob
@@ -325,7 +341,7 @@ def chees_adapt_update(
         da=da, traj_length=traj_length,
         traj_adam_m=m, traj_adam_v=v, traj_count=t,
         welford_count=count, welford_mean=mean, welford_m2=m2,
-        inv_mass=adapt.inv_mass, pc=pc_new,
+        inv_mass=adapt.inv_mass, pc=pc_new, log_t_ema=log_t_ema,
     )
 
 
@@ -343,6 +359,12 @@ def chees_refresh_mass(adapt: CheesAdaptState) -> CheesAdaptState:
         welford_m2=jnp.zeros_like(adapt.welford_m2),
         inv_mass=inv_mass,
         da=da_init(jnp.exp(adapt.da.log_eps)),
+        # T is measured in position space, so a metric change invalidates
+        # the criterion-gradient moment estimates; restart the Adam ascent
+        # (dual averaging above gets the same treatment).
+        traj_adam_m=jnp.zeros_like(adapt.traj_adam_m),
+        traj_adam_v=jnp.zeros_like(adapt.traj_adam_v),
+        traj_count=jnp.zeros_like(adapt.traj_count),
     )
 
 
@@ -585,7 +607,7 @@ def run_chees(
         adapt_spec = jax.tree.map(lambda _: P(), adapt)
         warmup_specs = (
             (state_spec, adapt_spec, P()),
-            (state_spec, adapt_spec, P(None, axis_name)),
+            (state_spec, adapt_spec, P(None, axis_name), P()),
         )
         sample_specs = (
             (state_spec, P(), P(), P()),
@@ -615,6 +637,10 @@ def run_chees(
     if criterion not in ("chees", "snaper"):
         raise ValueError(f"unknown trajectory criterion '{criterion}'")
     use_pc = criterion == "snaper"
+    # Iterate-averaging time constant for log T: ~1/8 of warmup, so the
+    # sampling-phase T is the settled mean of the final window's iterates
+    # rather than the last (noisy) Adam step.
+    t_ema_rate = 1.0 / max(n_adapts / 8.0, 50.0)
 
     def warmup_chunk(state, adapt, we_flags):
         def step(carry, we):
@@ -626,19 +652,20 @@ def run_chees(
             )
             adapt = chees_adapt_update(
                 adapt, new_state.qs, info, target_accept, eps,
-                axis_name=axis_name,
+                axis_name=axis_name, t_ema_rate=t_ema_rate,
             )
             if not adapt_trajectory:
                 adapt = adapt._replace(
-                    traj_length=jnp.asarray(t_pinned, dtype)
+                    traj_length=jnp.asarray(t_pinned, dtype),
+                    log_t_ema=jnp.log(jnp.asarray(t_pinned, dtype)),
                 )
             adapt = jax.lax.cond(
                 we, chees_refresh_mass, lambda a: a, adapt
             )
-            return (new_state, adapt), info["diverging"]
+            return (new_state, adapt), (info["diverging"], adapt.traj_length)
 
-        (state, adapt), div = lax.scan(step, (state, adapt), we_flags)
-        return state, adapt, div
+        (state, adapt), (div, ttrace) = lax.scan(step, (state, adapt), we_flags)
+        return state, adapt, div, ttrace
 
     warmup_fn = _wrap(warmup_chunk, warmup_specs)
 
@@ -657,17 +684,20 @@ def run_chees(
 
     t0 = _time.time()
     pos = 0
+    ttrace_parts = []
     while pos < n_adapts:
         length = min(chunk_size, n_adapts - pos)
         we = jnp.asarray(window_end[pos : pos + length])
-        state, adapt, _ = warmup_fn(state, adapt, we)
+        state, adapt, _, ttrace = warmup_fn(state, adapt, we)
+        ttrace_parts.append(np.asarray(ttrace))
         pos += length
         if progress:
             logger.info("chees warmup %d/%d (%.1fs)", pos, n_adapts, _time.time() - t0)
 
     eps_final = jnp.exp(adapt.da.log_eps_avg).astype(dtype)
     inv_mass_final = adapt.inv_mass
-    traj_final = adapt.traj_length
+    # Averaged iterate (see CheesAdaptState.log_t_ema), not the last one.
+    traj_final = jnp.exp(adapt.log_t_ema).astype(dtype)
 
     qs_parts, lp_parts, acc_parts, leap_parts, div_parts = [], [], [], [], []
     pos = 0
@@ -713,6 +743,9 @@ def run_chees(
         "step_size": np.asarray(eps_final),
         "inv_mass": np.asarray(inv_mass_final),
         "trajectory_length": float(traj_final),
+        "trajectory_warmup_trace": (
+            np.concatenate(ttrace_parts) if ttrace_parts else np.zeros((0,))
+        ),
         "final_psi": np.asarray(state.qs),
         "final_key": np.asarray(state.keys),
         "warmup_diverging": np.zeros((c, 0)),

@@ -78,13 +78,18 @@ def _draw_momentum(key, q, inv_mass):
 
 
 class Tree(NamedTuple):
-    """A trajectory segment (edges, aggregate momentum, multinomial proposal)."""
+    """A trajectory segment (edges, aggregate momentum, multinomial proposal).
+
+    Edge velocities v_* = M^-1 p_* ride along so U-turn checks against the
+    edges never re-apply the metric (see _leapfrog_v)."""
 
     q_left: jnp.ndarray
     p_left: jnp.ndarray
+    v_left: jnp.ndarray
     grad_left: jnp.ndarray
     q_right: jnp.ndarray
     p_right: jnp.ndarray
+    v_right: jnp.ndarray
     grad_right: jnp.ndarray
     rho: jnp.ndarray          # sum of momenta over all leaves
     q_prop: jnp.ndarray
@@ -117,20 +122,33 @@ def _kinetic(p, inv_mass):
     return 0.5 * _hdot(p, _minv_mv(inv_mass, p))
 
 
-def _leapfrog(vg, q, p, grad, eps, inv_mass):
-    p_half = p + 0.5 * eps * grad
-    q_new = q + eps * _minv_mv(inv_mass, p_half)
+def _leapfrog_v(vg, q, p, v, mgrad, grad, eps, inv_mass):
+    """Velocity-carrying leapfrog: v = M^-1 p is maintained by linearity
+    (v' = v + eps/2 M^-1 g), so the only metric product per leaf is
+    M^-1 grad_new — whose result is ALSO the next leaf's incoming mgrad.
+    Under the production dense-pooled metric this replaces the 2 + 2-per-
+    U-turn-check (dim, dim) matmuls per leaf of the naive formulation with
+    exactly one (kinetic energies and U-turn tests become dot products
+    against the carried velocities). Returns
+    (q_new, p_new, v_new, mgrad_new, logp_new, grad_new)."""
+    half = 0.5 * eps
+    p_half = p + half * grad
+    v_half = v + half * mgrad
+    q_new = q + eps * v_half
     logp_new, grad_new = vg(q_new)
-    p_new = p_half + 0.5 * eps * grad_new
-    return q_new, p_new, logp_new, grad_new
+    mgrad_new = _minv_mv(inv_mass, grad_new)
+    p_new = p_half + half * grad_new
+    v_new = v_half + half * mgrad_new
+    return q_new, p_new, v_new, mgrad_new, logp_new, grad_new
 
 
-def _is_turning(p_left, p_right, rho, inv_mass):
+def _is_turning(p_left, v_left, p_right, v_right, rho):
     """Generalized no-U-turn criterion with boundary-momentum correction
-    (Betancourt; Stan/numpyro variant)."""
+    (Betancourt; Stan/numpyro variant). v_* are the carried M^-1 p_*, so
+    no metric products are needed here."""
     rho_c = rho - 0.5 * (p_left + p_right)
-    t_left = _hdot(_minv_mv(inv_mass, p_left), rho_c) <= 0.0
-    t_right = _hdot(_minv_mv(inv_mass, p_right), rho_c) <= 0.0
+    t_left = _hdot(v_left, rho_c) <= 0.0
+    t_right = _hdot(v_right, rho_c) <= 0.0
     return t_left | t_right
 
 
@@ -156,13 +174,15 @@ def _leaf_idx_to_ckpt_idxs(n):
     return idx_max - n_trail + 1, idx_max
 
 
-def _is_iterative_turning(p_leaf, rho_cum, r_ckpts, rho_ckpts, idx_min, idx_max, inv_mass):
+def _is_iterative_turning(
+    p_leaf, v_leaf, rho_cum, r_ckpts, v_ckpts, rho_ckpts, idx_min, idx_max
+):
     """Check U-turns of every sub-subtree that ends at this (odd) leaf."""
 
     def body(c):
         i, _ = c
         rho_sub = rho_cum - rho_ckpts[i] + r_ckpts[i]
-        turn = _is_turning(r_ckpts[i], p_leaf, rho_sub, inv_mass)
+        turn = _is_turning(r_ckpts[i], v_ckpts[i], p_leaf, v_leaf, rho_sub)
         return i - 1, turn
 
     _, turning = lax.while_loop(
@@ -172,24 +192,29 @@ def _is_iterative_turning(p_leaf, rho_cum, r_ckpts, rho_ckpts, idx_min, idx_max,
 
 
 def _build_subtree(
-    vg, q0, p0, grad0, num_leaves, eps_signed, inv_mass, h0, key, max_depth,
-    max_delta_energy,
+    vg, q0, p0, v0, grad0, num_leaves, eps_signed, inv_mass, h0, key,
+    max_depth, max_delta_energy,
 ):
     """Build a subtree of ``num_leaves`` (traced) leapfrog steps outward from
     the given edge state, with internal U-turn checkpointing. Returns a Tree
     whose left edge is the FIRST leaf and right edge the LAST leaf in build
-    order (caller re-orients by direction)."""
+    order (caller re-orients by direction). ``v0`` is the edge velocity
+    M^-1 p0 (carried by the caller; see _leapfrog_v)."""
     dim = q0.shape[0]
     dtype = q0.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype=dtype)
+    mgrad0 = _minv_mv(inv_mass, grad0)
 
     class SubState(NamedTuple):
         leaf_idx: jnp.ndarray
         q: jnp.ndarray
         p: jnp.ndarray
+        v: jnp.ndarray
+        mgrad: jnp.ndarray
         grad: jnp.ndarray
         q_first: jnp.ndarray
         p_first: jnp.ndarray
+        v_first: jnp.ndarray
         grad_first: jnp.ndarray
         rho: jnp.ndarray
         q_prop: jnp.ndarray
@@ -200,6 +225,7 @@ def _build_subtree(
         diverging: jnp.ndarray
         turning: jnp.ndarray
         r_ckpts: jnp.ndarray
+        v_ckpts: jnp.ndarray
         rho_ckpts: jnp.ndarray
         key: jnp.ndarray
 
@@ -208,8 +234,10 @@ def _build_subtree(
 
     def body(s: SubState):
         key, k_mn = jax.random.split(s.key)
-        q, p, logp, grad = _leapfrog(vg, s.q, s.p, s.grad, eps_signed, inv_mass)
-        h = -logp + _kinetic(p, inv_mass)
+        q, p, v, mgrad, logp, grad = _leapfrog_v(
+            vg, s.q, s.p, s.v, s.mgrad, s.grad, eps_signed, inv_mass
+        )
+        h = -logp + 0.5 * _hdot(p, v)
         delta = h - h0
         bad = ~(delta <= max_delta_energy)  # NaN -> True
         w = jnp.where(bad, neg_inf, -delta)
@@ -225,6 +253,7 @@ def _build_subtree(
         is_first = s.leaf_idx == 0
         q_first = jnp.where(is_first, q, s.q_first)
         p_first = jnp.where(is_first, p, s.p_first)
+        v_first = jnp.where(is_first, v, s.v_first)
         grad_first = jnp.where(is_first, grad, s.grad_first)
 
         idx_min, idx_max = _leaf_idx_to_ckpt_idxs(s.leaf_idx)
@@ -232,33 +261,39 @@ def _build_subtree(
         r_ckpts = jnp.where(
             is_even, s.r_ckpts.at[idx_max].set(p), s.r_ckpts
         )
+        v_ckpts = jnp.where(
+            is_even, s.v_ckpts.at[idx_max].set(v), s.v_ckpts
+        )
         rho_ckpts = jnp.where(
             is_even, s.rho_ckpts.at[idx_max].set(rho), s.rho_ckpts
         )
         turning = jnp.where(
             is_even,
             jnp.asarray(False),
-            _is_iterative_turning(p, rho, r_ckpts, rho_ckpts, idx_min, idx_max, inv_mass),
+            _is_iterative_turning(
+                p, v, rho, r_ckpts, v_ckpts, rho_ckpts, idx_min, idx_max
+            ),
         )
 
         return SubState(
             leaf_idx=s.leaf_idx + 1,
-            q=q, p=p, grad=grad,
-            q_first=q_first, p_first=p_first, grad_first=grad_first,
+            q=q, p=p, v=v, mgrad=mgrad, grad=grad,
+            q_first=q_first, p_first=p_first, v_first=v_first,
+            grad_first=grad_first,
             rho=rho,
             q_prop=q_prop, logp_prop=logp_prop, grad_prop=grad_prop,
             log_sum_w=log_sum_w,
             sum_accept=s.sum_accept + accept,
             diverging=bad | s.diverging,
             turning=turning,
-            r_ckpts=r_ckpts, rho_ckpts=rho_ckpts,
+            r_ckpts=r_ckpts, v_ckpts=v_ckpts, rho_ckpts=rho_ckpts,
             key=key,
         )
 
     init = SubState(
         leaf_idx=jnp.int32(0),
-        q=q0, p=p0, grad=grad0,
-        q_first=q0, p_first=p0, grad_first=grad0,
+        q=q0, p=p0, v=v0, mgrad=mgrad0, grad=grad0,
+        q_first=q0, p_first=p0, v_first=v0, grad_first=grad0,
         rho=jnp.zeros_like(p0),
         q_prop=q0, logp_prop=jnp.asarray(0.0, dtype), grad_prop=grad0,
         log_sum_w=neg_inf,
@@ -266,13 +301,15 @@ def _build_subtree(
         diverging=jnp.asarray(False),
         turning=jnp.asarray(False),
         r_ckpts=jnp.zeros((max_depth, dim), dtype),
+        v_ckpts=jnp.zeros((max_depth, dim), dtype),
         rho_ckpts=jnp.zeros((max_depth, dim), dtype),
         key=key,
     )
     s = lax.while_loop(cond, body, init)
     return Tree(
-        q_left=s.q_first, p_left=s.p_first, grad_left=s.grad_first,
-        q_right=s.q, p_right=s.p, grad_right=s.grad,
+        q_left=s.q_first, p_left=s.p_first, v_left=s.v_first,
+        grad_left=s.grad_first,
+        q_right=s.q, p_right=s.p, v_right=s.v, grad_right=s.grad,
         rho=s.rho,
         q_prop=s.q_prop, logp_prop=s.logp_prop, grad_prop=s.grad_prop,
         log_sum_w=s.log_sum_w,
@@ -299,11 +336,12 @@ def nuts_transition(
     dtype = q.dtype
     key_mom, key_loop = jax.random.split(key)
     p0 = _draw_momentum(key_mom, q, inv_mass)
-    h0 = -logp + _kinetic(p0, inv_mass)
+    v0 = _minv_mv(inv_mass, p0)
+    h0 = -logp + 0.5 * _hdot(p0, v0)
 
     init_tree = Tree(
-        q_left=q, p_left=p0, grad_left=grad,
-        q_right=q, p_right=p0, grad_right=grad,
+        q_left=q, p_left=p0, v_left=v0, grad_left=grad,
+        q_right=q, p_right=p0, v_right=v0, grad_right=grad,
         rho=p0,
         q_prop=q, logp_prop=logp, grad_prop=grad,
         log_sum_w=jnp.zeros((), dtype),
@@ -330,11 +368,12 @@ def nuts_transition(
 
         edge_q = jnp.where(go_right, tree.q_right, tree.q_left)
         edge_p = jnp.where(go_right, tree.p_right, tree.p_left)
+        edge_v = jnp.where(go_right, tree.v_right, tree.v_left)
         edge_grad = jnp.where(go_right, tree.grad_right, tree.grad_left)
 
         num_leaves = jnp.int32(1) << s.depth
         sub = _build_subtree(
-            vg, edge_q, edge_p, edge_grad, num_leaves,
+            vg, edge_q, edge_p, edge_v, edge_grad, num_leaves,
             direction * step_size, inv_mass, h0, k_sub,
             max_depth, max_delta_energy,
         )
@@ -356,19 +395,25 @@ def nuts_transition(
         # tree; its right edge is the outermost leaf regardless of direction.
         new_q_left = jnp.where(go_right, tree.q_left, sub.q_right)
         new_p_left = jnp.where(go_right, tree.p_left, sub.p_right)
+        new_v_left = jnp.where(go_right, tree.v_left, sub.v_right)
         new_grad_left = jnp.where(go_right, tree.grad_left, sub.grad_right)
         new_q_right = jnp.where(go_right, sub.q_right, tree.q_right)
         new_p_right = jnp.where(go_right, sub.p_right, tree.p_right)
+        new_v_right = jnp.where(go_right, sub.v_right, tree.v_right)
         new_grad_right = jnp.where(go_right, sub.grad_right, tree.grad_right)
         rho = tree.rho + sub.rho
-        turning_combined = _is_turning(new_p_left, new_p_right, rho, inv_mass)
+        turning_combined = _is_turning(
+            new_p_left, new_v_left, new_p_right, new_v_right, rho
+        )
 
         merged = Tree(
             q_left=jnp.where(valid, new_q_left, tree.q_left),
             p_left=jnp.where(valid, new_p_left, tree.p_left),
+            v_left=jnp.where(valid, new_v_left, tree.v_left),
             grad_left=jnp.where(valid, new_grad_left, tree.grad_left),
             q_right=jnp.where(valid, new_q_right, tree.q_right),
             p_right=jnp.where(valid, new_p_right, tree.p_right),
+            v_right=jnp.where(valid, new_v_right, tree.v_right),
             grad_right=jnp.where(valid, new_grad_right, tree.grad_right),
             rho=jnp.where(valid, rho, tree.rho),
             q_prop=q_prop, logp_prop=logp_prop, grad_prop=grad_prop,

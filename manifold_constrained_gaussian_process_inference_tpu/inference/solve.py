@@ -823,6 +823,10 @@ def solve_magi(
     }
     if "trajectory_length" in info:
         diagnostics["trajectory_length"] = info["trajectory_length"]
+    if "trajectory_warmup_trace" in info:
+        diagnostics["trajectory_warmup_trace"] = info[
+            "trajectory_warmup_trace"
+        ]
     if "swap_acceptance" in info:
         diagnostics["swap_acceptance"] = info["swap_acceptance"]
         diagnostics["temperatures"] = info["temperatures"]

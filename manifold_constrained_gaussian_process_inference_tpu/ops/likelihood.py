@@ -51,14 +51,21 @@ class LikelihoodData(NamedTuple):
     mask:        (n, D) 1.0 where the observation is finite, else 0.0
     nobs:        (D,)   number of finite observations per dimension
     tvec:        (n,)
-    mphi:        (D, n, n) band-masked stack
-    GCt, GKt:    (D, n, n) UPPER-banded transposed Cholesky factors of the
-                 band-masked Cinv / Kinv stacks: Cinv_band = GC GC',
-                 Kinv_band = GK GK'. Quadratic forms are computed as sums of
-                 squares ||GCt x||^2 / ||GKt e||^2 — algebraically equal to
-                 x' Cinv_band x / e' Kinv_band e but float32-stable on TPU
-                 (the inverse-based form loses ~1e-1 relative accuracy at
-                 Kinv scales ~1/jitter; measured on a v5e).
+    GKt:         (D, n, n) UPPER-banded transposed Cholesky factor of the
+                 band-masked Kinv stack (Kinv_band = GK GK'); with GCt
+                 (fused into mphi_gct, below) the quadratic forms are
+                 computed as sums of squares ||GCt x||^2 / ||GKt e||^2 —
+                 algebraically equal to x' Cinv_band x / e' Kinv_band e but
+                 float32-stable on TPU (the inverse-based form loses ~1e-1
+                 relative accuracy at Kinv scales ~1/jitter; measured on a
+                 v5e).
+    mphi_gct:    (2D, n, n) fused stack [mphi; GCt]: both consume the
+                 centered state, so one batched einsum covers them (halves
+                 the matvec kernel count on the hot path). The halves are
+                 deliberately NOT stored as separate device arrays — the
+                 unused duplicates would cost 2 D n^2 floats of HBM
+                 residency (~160 MB at n=3169); host consumers
+                 (make_centered_terms) slice this stack instead.
     beta:        (3,)   [beta_deriv, beta_level, beta_obs]
     """
 
@@ -66,12 +73,7 @@ class LikelihoodData(NamedTuple):
     mask: jnp.ndarray
     nobs: jnp.ndarray
     tvec: jnp.ndarray
-    mphi: jnp.ndarray
-    GCt: jnp.ndarray
     GKt: jnp.ndarray
-    # Fused stack [mphi; GCt] (2D, n, n): both consume the centered state,
-    # so one batched einsum covers them (halves the matvec kernel count on
-    # the hot path).
     mphi_gct: jnp.ndarray
     beta: jnp.ndarray
     mu: jnp.ndarray      # (n, D) GP prior mean
@@ -130,8 +132,6 @@ def make_likelihood_data(
         mask=jnp.asarray(mask.astype(np.float64), dtype=dtype),
         nobs=jnp.asarray(mask.sum(axis=0).astype(np.float64), dtype=dtype),
         tvec=gp_cov.tvec.astype(dtype),
-        mphi=gp_cov.mphi_band.astype(dtype),
-        GCt=jnp.swapaxes(gp_cov.Cinv_band_chol, -1, -2).astype(dtype),
         GKt=jnp.swapaxes(gp_cov.Kinv_band_chol, -1, -2).astype(dtype),
         mphi_gct=jnp.concatenate(
             [
@@ -368,8 +368,9 @@ def make_centered_terms(data, x_ref, bandwidth: int = 0) -> CenteredTerms:
             axis=-1,
         )
     else:
-        mphi64 = np.asarray(data.mphi, dtype=np.float64)
-        gct64 = np.asarray(data.GCt, dtype=np.float64)
+        d = xr.shape[1]
+        stack64 = np.asarray(data.mphi_gct, dtype=np.float64)
+        mphi64, gct64 = stack64[:d], stack64[d:]
         c_mphi = np.einsum("dij,jd->id", mphi64, xc)
         c_gc = np.einsum("dij,jd->id", gct64, xc)
     dtype = data.mask.dtype

@@ -237,6 +237,7 @@ def test_snaper_pc_estimate_is_principal_direction():
         welford_count=jnp.zeros(()), welford_mean=jnp.zeros(dim),
         welford_m2=jnp.zeros(dim), inv_mass=jnp.ones(dim),
         pc=jnp.full((dim,), 1.0 / np.sqrt(dim)),
+        log_t_ema=jnp.zeros(()),
     )
     info = {"accept_prob": jnp.ones(c), "chees_grad": jnp.zeros(())}
     for _ in range(200):
