@@ -63,40 +63,69 @@ def _is_backend_unavailable(exc: BaseException) -> bool:
     )
 
 
+def _probe_backend_subprocess(timeout_s: float = 120.0) -> bool:
+    """Probe the relay in a SUBPROCESS with a hard timeout. The relay has
+    TWO outage shapes: a raised RuntimeError(UNAVAILABLE), and a silent
+    HANG inside backend init (jax.devices() blocks in C++ RPC forever —
+    measured >12 min on 2026-08-18; in-process polling cannot recover from
+    that, signals do not interrupt the blocked extension call). A killable
+    child answers 'is the relay up?' without wedging this process."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def wait_for_backend(max_wait_s: float = 900.0, poll_s: float = 30.0) -> bool:
-    """Poll jax.devices() until the backend comes up, with backoff bounded
-    by CLAUDE.md's documented relay-outage window (2-15 min). Clears JAX's
-    backend cache between attempts so each retry re-runs initialization.
-    Returns True if a backend is live, False if the window expired."""
+    """Wait until the TPU relay answers, bounded by CLAUDE.md's documented
+    outage window. Each attempt probes in a killable subprocess (see
+    _probe_backend_subprocess — in-process jax.devices() can hang forever)
+    and only touches in-process init once a probe succeeds. Clears JAX's
+    backend cache between attempts so a previously cached init failure
+    re-runs. Returns True if a backend is live, False if the window
+    expired."""
     import jax
 
     t0 = time.perf_counter()
     attempt = 0
     while True:
-        try:
-            devs = jax.devices()
-            if attempt:
-                log(f"backend up after {time.perf_counter() - t0:.0f}s: {devs}")
-            return True
-        except Exception as e:  # backend-init failures are RuntimeError
-            if not _is_backend_unavailable(e):
-                raise
-            waited = time.perf_counter() - t0
-            if waited >= max_wait_s:
-                log(f"backend still unavailable after {waited:.0f}s: {e}")
-                return False
-            log(
-                f"backend unavailable (attempt {attempt}, {waited:.0f}s "
-                f"elapsed); retrying in {poll_s:.0f}s: {e}"
-            )
-            try:  # reset cached init failure so the retry re-attempts
+        if _probe_backend_subprocess():
+            try:  # reset any cached init failure, then init for real
                 from jax._src import xla_bridge as _xb
 
                 _xb._clear_backends()
             except Exception:
                 pass
-            time.sleep(poll_s)
-            attempt += 1
+            try:
+                devs = jax.devices()
+                if attempt:
+                    log(f"backend up after {time.perf_counter() - t0:.0f}s: "
+                        f"{devs}")
+                return True
+            except Exception as e:
+                if not _is_backend_unavailable(e):
+                    raise
+                # probe raced an outage; fall through to the wait logic
+        waited = time.perf_counter() - t0
+        if waited >= max_wait_s:
+            log(f"backend still unavailable after {waited:.0f}s")
+            return False
+        log(
+            f"backend unavailable (attempt {attempt}, {waited:.0f}s "
+            f"elapsed); retrying in {poll_s:.0f}s"
+        )
+        time.sleep(poll_s)
+        attempt += 1
 
 
 def _retry_on_outage(fn, *args, stage="stage", **kwargs):

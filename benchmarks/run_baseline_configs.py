@@ -330,10 +330,11 @@ def main():
     # so one transient outage doesn't poison the sweep artifact.
     import bench
 
+    max_wait = float(os.environ.get("MAGI_BACKEND_MAX_WAIT_S", 900))
     for idx in configs:
         for seed in seeds:
             log(f"=== config {idx}, seed {seed} ===")
-            bench.wait_for_backend()
+            bench.wait_for_backend(max_wait_s=max_wait, poll_s=60.0)
             try:
                 out = bench._retry_on_outage(
                     run_config, idx, seed, stage=f"config{idx}/seed{seed}"
