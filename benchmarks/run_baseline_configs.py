@@ -331,10 +331,11 @@ def main():
     import bench
 
     max_wait = float(os.environ.get("MAGI_BACKEND_MAX_WAIT_S", 900))
+    poll = float(os.environ.get("MAGI_BACKEND_POLL_S", 60))
     for idx in configs:
         for seed in seeds:
             log(f"=== config {idx}, seed {seed} ===")
-            bench.wait_for_backend(max_wait_s=max_wait, poll_s=60.0)
+            bench.wait_for_backend(max_wait_s=max_wait, poll_s=poll)
             try:
                 out = bench._retry_on_outage(
                     run_config, idx, seed, stage=f"config{idx}/seed{seed}"
