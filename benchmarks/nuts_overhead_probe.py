@@ -13,6 +13,11 @@ layer that actually dominates:
   2. whitened-centered vg  (adds the W matmuls — the production target)
   3. chained nuts_transition under a dense metric (full per-leaf cost,
      fixed step size, no adaptation) -> leaves/sec
+  4. the raw vg with operator stacks zero-padded n=397 -> 512 (lane-tile
+     multiple): if the padded per-step time is not larger, the 397-shape
+     inefficiency is tile padding XLA already pays, and explicit grid
+     padding in solve would buy nothing; if padded is FASTER per step,
+     padding the time grid is a real lever (VERDICT r3 item 3a).
 
 Usage (TPU): python -u benchmarks/nuts_overhead_probe.py [--batch 64]
 """
@@ -129,6 +134,65 @@ def main():
         ),
         "wall_s": round(dt, 2),
     }), flush=True)
+
+    # --- 4. raw vg with stacks zero-padded to the next lane multiple ---
+    from manifold_constrained_gaussian_process_inference_tpu.ops.likelihood import (
+        LikelihoodData,
+        log_posterior,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+
+    data = target.data
+    n, d = data.mask.shape
+    n_pad = -(-n // 128) * 128  # 397 -> 512
+
+    def padm(a):  # (D, n, n) -> (D, n_pad, n_pad)
+        out = np.zeros((a.shape[0], n_pad, n_pad), np.asarray(a).dtype)
+        out[:, :n, :n] = np.asarray(a)
+        return jnp.asarray(out)
+
+    def padv(a):  # (n, D) -> (n_pad, D)
+        out = np.zeros((n_pad, a.shape[1]), np.asarray(a).dtype)
+        out[:n] = np.asarray(a)
+        return jnp.asarray(out)
+
+    tvec_pad = np.zeros(n_pad, np.asarray(data.tvec).dtype)
+    tvec_pad[:n] = np.asarray(data.tvec)
+    data_pad = LikelihoodData(
+        yobs_filled=padv(data.yobs_filled), mask=padv(data.mask),
+        nobs=data.nobs, tvec=jnp.asarray(tvec_pad),
+        GKt=padm(data.GKt), mphi_gct=padm(data.mphi_gct),
+        beta=data.beta, mu=padv(data.mu), dotmu=padv(data.dotmu),
+    )
+    sigma0 = jnp.asarray([0.2, 0.2], dtype)
+    theta0 = jnp.asarray([0.2, 0.2, 3.0], dtype)
+
+    for tag, dd, nn in (("raw_vg_n397_xonly", data, n),
+                        ("raw_vg_pad512_xonly", data_pad, n_pad)):
+        def value(x, _dd=dd):
+            return log_posterior(x, theta0, sigma0, _dd, FN_SYSTEM.f)
+
+        vgx = jax.vmap(jax.value_and_grad(value))
+        x0 = jnp.zeros((batch, nn, d), dtype)
+
+        @jax.jit
+        def chained_x(x, n_it):
+            def body(_, x):
+                v, g = vgx(x)
+                return x + 1e-6 * g / (1.0 + jnp.mean(jnp.abs(v)))
+
+            return jax.lax.fori_loop(0, n_it, body, x)
+
+        chained_x(x0, 2).block_until_ready()
+        t0 = time.perf_counter()
+        chained_x(x0, args.n_evals).block_until_ready()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"layer": tag,
+                          "evals_per_sec": round(args.n_evals * batch / dt, 1),
+                          "us_per_step": round(1e6 * dt / args.n_evals, 2)}),
+              flush=True)
 
 
 if __name__ == "__main__":
