@@ -46,6 +46,11 @@ def main():
     import jax.numpy as jnp
 
     import bench
+
+    bench.wait_for_backend(
+        max_wait_s=float(os.environ.get("MAGI_BACKEND_MAX_WAIT_S", 900)),
+        poll_s=float(os.environ.get("MAGI_BACKEND_POLL_S", 60)),
+    )
     from manifold_constrained_gaussian_process_inference_tpu.inference.nuts import (
         DenseMetric,
         nuts_transition,
