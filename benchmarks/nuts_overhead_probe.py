@@ -199,6 +199,23 @@ def main():
                           "us_per_step": round(1e6 * dt / args.n_evals, 2)}),
               flush=True)
 
+    # --- 5. device->host transfer bandwidth over the relay ---
+    # The pooled-metric warmup ships each chunk's positions to the host
+    # ((chunk, C, dim) f32 ~ 51 MB at production shape) for f64
+    # divergence-aware covariance pooling. If the relay moves this slowly,
+    # a device-side masked X'X (2.5 MB) is worth building; if fast, the
+    # host path stays.
+    arr = jnp.ones((250, batch, dim), dtype)
+    arr.block_until_ready()
+    np.asarray(arr)  # warm the path
+    t0 = time.perf_counter()
+    np.asarray(arr)
+    dt = time.perf_counter() - t0
+    mb = arr.size * arr.dtype.itemsize / 1e6
+    print(json.dumps({"layer": "d2h_transfer",
+                      "mb": round(mb, 1), "s": round(dt, 3),
+                      "mb_per_s": round(mb / dt, 1)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
