@@ -56,7 +56,7 @@ def main():
         nuts_transition,
     )
     from manifold_constrained_gaussian_process_inference_tpu.inference.whiten import (
-        laplace_whitener_exact,
+        build_psi_whitener,
         make_centered_whitened_vg,
     )
 
@@ -92,7 +92,13 @@ def main():
     chain_rate(vg_raw, psi_b, args.n_evals, "raw_vg")
 
     # --- 2. centered whitened vg (the production target) ---
-    whitener = laplace_whitener_exact(target, np.asarray(psi0), dtype=dtype)
+    # GN whitener: at n=397 it agrees with the exact-Hessian build (see
+    # build_psi_whitener_exact docstring) and the probe only measures the
+    # SHAPE cost of the W matmuls, not the whitening quality.
+    whitener = build_psi_whitener(
+        host["cov"], host["y"], target, np.asarray(psi0),
+        np.asarray(bench.BETA), dtype,
+    )
     vg_w = jax.vmap(make_centered_whitened_vg(target, whitener))
     dim = int(whitener.W.shape[0])
     z_b = jnp.zeros((batch, dim), dtype)
@@ -174,8 +180,8 @@ def main():
     sigma0 = jnp.asarray([0.2, 0.2], dtype)
     theta0 = jnp.asarray([0.2, 0.2, 3.0], dtype)
 
-    for tag, dd, nn in (("raw_vg_n397_xonly", data, n),
-                        ("raw_vg_pad512_xonly", data_pad, n_pad)):
+    for tag, dd, nn in ((f"raw_vg_n{n}_xonly", data, n),
+                        (f"raw_vg_pad{n_pad}_xonly", data_pad, n_pad)):
         def value(x, _dd=dd):
             return log_posterior(x, theta0, sigma0, _dd, FN_SYSTEM.f)
 
