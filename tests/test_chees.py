@@ -245,3 +245,63 @@ def test_snaper_pc_estimate_is_principal_direction():
         adapt = chees_adapt_update(adapt, qs, info, 0.75, jnp.asarray(0.1))
     pc = np.asarray(adapt.pc)
     assert abs(abs(float(pc @ direction)) - 1.0) < 0.05
+
+
+def test_traj_iterate_averaging_and_refresh_reset():
+    """The sampling-phase T must be the EMA of warmup iterates (not the
+    last noisy Adam step), and a metric refresh must restart the
+    trajectory Adam state (T is position-space-scaled, so pre-refresh
+    moments are stale). Pins the round-4 fix for the config-7 T collapse
+    (results_r3.jsonl: seeds 7/123 settled at T 1.4-2.1 vs 10.6)."""
+    from manifold_constrained_gaussian_process_inference_tpu.inference.adapt import (
+        da_init,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.inference.chees import (
+        CheesAdaptState,
+        chees_adapt_update,
+        chees_refresh_mass,
+    )
+
+    dim, c = 4, 8
+    adapt = CheesAdaptState(
+        da=da_init(jnp.asarray(0.1)),
+        traj_length=jnp.asarray(1.0),
+        traj_adam_m=jnp.zeros(()), traj_adam_v=jnp.zeros(()),
+        traj_count=jnp.zeros(()),
+        welford_count=jnp.zeros(()), welford_mean=jnp.zeros(dim),
+        welford_m2=jnp.zeros(dim), inv_mass=jnp.ones(dim),
+        pc=jnp.full((dim,), 0.5),
+        log_t_ema=jnp.log(jnp.asarray(1.0)),
+    )
+    rng = np.random.default_rng(0)
+    rate = 0.25
+    ema_ref = 0.0
+    # A persistent positive criterion gradient drives T up; the EMA must
+    # track log T with the configured rate, exactly.
+    for _ in range(30):
+        qs = jnp.asarray(rng.normal(size=(c, dim)))
+        info = {"accept_prob": jnp.full((c,), 0.8),
+                "chees_grad": jnp.asarray(2.0)}
+        adapt = chees_adapt_update(
+            adapt, qs, info, 0.75, jnp.asarray(0.05), t_ema_rate=rate
+        )
+        ema_ref = ema_ref + rate * (float(jnp.log(adapt.traj_length)) - ema_ref)
+    assert float(adapt.traj_length) > 1.05  # Adam ascended
+    np.testing.assert_allclose(float(adapt.log_t_ema), ema_ref, rtol=1e-5)
+    # EMA lags the iterate (T rose monotonically): averaged < last.
+    assert float(jnp.exp(adapt.log_t_ema)) < float(adapt.traj_length)
+
+    refreshed = chees_refresh_mass(adapt._replace(
+        welford_count=jnp.asarray(10.0),
+        welford_m2=jnp.ones(dim) * 9.0,
+    ))
+    assert float(refreshed.traj_adam_m) == 0.0
+    assert float(refreshed.traj_adam_v) == 0.0
+    assert float(refreshed.traj_count) == 0.0
+    # T itself and its EMA survive the refresh (only the moments restart).
+    np.testing.assert_allclose(
+        float(refreshed.traj_length), float(adapt.traj_length)
+    )
+    np.testing.assert_allclose(
+        float(refreshed.log_t_ema), float(adapt.log_t_ema)
+    )
