@@ -36,6 +36,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -495,7 +496,11 @@ def main():
     enable_persistent_cache()
     # Acquire the backend FIRST, riding out relay outages (round 3's entire
     # TPU record was lost to a transient init failure at first device_put).
-    if not wait_for_backend():
+    # MAGI_BACKEND_MAX_WAIT_S widens the window for unattended runs; the
+    # default stays inside a driver-sized budget.
+    max_wait = float(os.environ.get("MAGI_BACKEND_MAX_WAIT_S", 900))
+    poll = float(os.environ.get("MAGI_BACKEND_POLL_S", 30))
+    if not wait_for_backend(max_wait_s=max_wait, poll_s=poll):
         log("proceeding anyway; stages will fail with backend errors")
     target, psi0, host = build_workload()
     log(f"workload: n={target.n_times}, D={target.n_dims}, psi dim={psi0.shape[0]}")
