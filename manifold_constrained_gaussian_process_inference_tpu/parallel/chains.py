@@ -116,6 +116,44 @@ def _pooled_dense_metric(
     return pooled_dense_metric_from_samples(flat, dim, dtype, prev)
 
 
+def pooled_dense_metric_from_moments(
+    moments, dim: int, dtype, prev: DenseMetric
+) -> DenseMetric:
+    """DenseMetric from DEVICE-accumulated window moments.
+
+    ``moments`` is a list of per-chunk tuples (cnt, s1, s2, n_win, n_div)
+    where cnt/s1/s2 are the divergence-masked count / sum / sum of outer
+    products over all chains' in-window draws, and n_win/n_div count
+    in-window draws and divergent in-window draws. Reproduces
+    _pooled_dense_metric's policies (drop divergent draws; keep the
+    previous metric when most of the window diverged) without shipping the
+    (C, L, dim) position chunks to the host — ~51 MB per chunk at the
+    production shape over the TPU relay, plus a multi-second host np.cov
+    on this one-core box, become one (dim, dim) transfer and a device
+    einsum."""
+    cnt = float(sum(float(m[0]) for m in moments))
+    n_win = float(sum(float(m[3]) for m in moments))
+    n_div = float(sum(float(m[4]) for m in moments))
+    if n_win > 0 and n_div / n_win > 0.5:
+        logger.warning(
+            "pooled dense metric: %.0f%% of window draws diverged; "
+            "keeping previous metric.", 100.0 * n_div / n_win,
+        )
+        return prev
+    if n_div > 0:
+        logger.info(
+            "pooled dense metric: dropping %.1f%% divergent window "
+            "draws from the estimate.", 100.0 * n_div / max(n_win, 1.0),
+        )
+    if cnt < 5:
+        return prev
+    s1 = np.sum([np.asarray(m[1], np.float64) for m in moments], axis=0)
+    s2 = np.sum([np.asarray(m[2], np.float64) for m in moments], axis=0)
+    mean = s1 / cnt
+    cov = (s2 - cnt * np.outer(mean, mean)) / (cnt - 1.0)
+    return _metric_from_cov(cov, cnt, dim, dtype, prev)
+
+
 def pooled_dense_metric_from_samples(
     flat: np.ndarray, dim: int, dtype, prev: DenseMetric
 ) -> DenseMetric:
@@ -124,6 +162,13 @@ def pooled_dense_metric_from_samples(
     if n_s < 5:
         return prev
     cov = np.cov(flat, rowvar=False)
+    return _metric_from_cov(cov, n_s, dim, dtype, prev)
+
+
+def _metric_from_cov(
+    cov: np.ndarray, n_s: float, dim: int, dtype, prev: DenseMetric
+) -> DenseMetric:
+    """Shared covariance -> regularized DenseMetric tail (f64 host)."""
     # Degenerate-window guard: if the chains barely moved this window (all
     # variances far below the ~unit whitened scale), the pooled covariance
     # measures the FREEZE, not the posterior — adopting it shrinks the
@@ -363,15 +408,49 @@ def _run_chains_pooled(
     carry = init(psi0, keys, metric)
 
     warmup_step = make_warmup_step_pooled(vg, target_accept, max_depth)
+    axis_name = mesh.axis_names[0] if mesh is not None else None
+    hi = jax.lax.Precision.HIGHEST
 
-    def warmup_chunk(carry, iw, we, m):
-        return jax.lax.scan(
-            lambda c, x: warmup_step(c, x, m), carry, (iw, we)
-        )
+    def warmup_chunk_batched(carry, iw, we, m):
+        """Batched warmup chunk emitting DEVICE-accumulated window moments
+        (divergence-masked count / sum / sum of outer products over all
+        chains) instead of the raw (C, L, dim) positions — the positions
+        stay on device (see pooled_dense_metric_from_moments)."""
+
+        def scan_one(c, iw1, we1):
+            return jax.lax.scan(
+                lambda cc, x: warmup_step(cc, x, m), c, (iw1, we1)
+            )
+
+        carry, (qs, div) = jax.vmap(scan_one)(carry, iw, we)  # (C, L, dim)
+        iw_f = iw.astype(qs.dtype)
+        w = iw_f * (1.0 - div.astype(qs.dtype))               # (C, L)
+        qm = qs * w[:, :, None]
+        cnt = jnp.sum(w)
+        s1 = jnp.sum(qm, axis=(0, 1))
+        s2 = jnp.einsum("cld,cle->de", qm, qs, precision=hi)
+        n_win = jnp.sum(iw_f)
+        n_div = jnp.sum(iw_f * div.astype(qs.dtype))
+        moments = (cnt, s1, s2, n_win, n_div)
+        if axis_name is not None:
+            moments = jax.lax.psum(moments, axis_name)
+        return carry, div, moments
+
+    if mesh is None:
+        def wrap_warmup(f):
+            return jax.jit(f)
+    else:
+        def wrap_warmup(f):
+            return jax.jit(jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                check_vma=False,
+            ))
 
     in_window, window_end = build_window_schedule(n_adapts)
     warmup_div_chunks = []
-    window_qs, window_mask, window_div = [], [], []
+    window_moments = []
     pos = 0
     t0 = time.time()
     chunks = _window_aligned_chunks(window_end, chunk_size)
@@ -380,18 +459,16 @@ def _run_chains_pooled(
         iw = jnp.asarray(np.tile(in_window[pos : pos + length], (n_chains, 1)))
         we = jnp.asarray(np.tile(window_end[pos : pos + length], (n_chains, 1)))
         if length not in compiled_warmup:
-            compiled_warmup[length] = wrap(warmup_chunk, 3)
-        carry, (qs, div) = compiled_warmup[length](carry, iw, we, metric)
+            compiled_warmup[length] = wrap_warmup(warmup_chunk_batched)
+        carry, div, moments = compiled_warmup[length](carry, iw, we, metric)
         warmup_div_chunks.append(np.asarray(div))
-        window_qs.append(np.asarray(qs))
-        window_mask.append(in_window[pos : pos + length])
-        window_div.append(np.asarray(div))
+        window_moments.append(moments)
         pos += length
         if window_end[pos - 1]:
-            metric = _pooled_dense_metric(
-                window_qs, window_mask, dim, dtype, metric, window_div
+            metric = pooled_dense_metric_from_moments(
+                window_moments, dim, dtype, metric
             )
-            window_qs, window_mask, window_div = [], [], []
+            window_moments = []
         if progress:
             logger.info(
                 "warmup %d/%d (%.1fs, pooled dense metric)",

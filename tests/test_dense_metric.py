@@ -189,3 +189,52 @@ def test_pooled_metric_divergence_aware():
     m3 = _pooled_dense_metric([qs], [np.ones(L, bool)], dim, jnp.float64,
                               prev)
     assert float(jnp.max(jnp.abs(m3.minv - eye))) > 10.0
+
+
+def test_pooled_moments_match_sample_pooling():
+    """The device-accumulated moment path (pooled_dense_metric_from_moments)
+    must reproduce the host sample-pooling estimator exactly (f64): same
+    divergence-masked covariance, same shrinkage, same keep-previous
+    policies."""
+    from manifold_constrained_gaussian_process_inference_tpu.parallel.chains import (
+        _pooled_dense_metric,
+        pooled_dense_metric_from_moments,
+    )
+
+    rng = np.random.default_rng(5)
+    c, L, dim = 6, 40, 5
+    qs = rng.normal(size=(c, L, dim)) * 1.3 + 0.4
+    iw = np.ones(L, bool)
+    iw[:7] = False                      # some out-of-window draws
+    div = rng.random((c, L)) < 0.1      # some divergent draws
+    prev = DenseMetric(minv=jnp.eye(dim), chol_minv=jnp.eye(dim))
+
+    ref = _pooled_dense_metric([qs], [iw], dim, jnp.float64, prev,
+                               window_div=[div])
+
+    w = iw[None, :].astype(float) * (~div).astype(float)
+    qm = qs * w[:, :, None]
+    cnt = w.sum()
+    s1 = qm.sum(axis=(0, 1))
+    s2 = np.einsum("cld,cle->de", qm, qs)
+    n_win = float(iw.sum() * c)
+    n_div = float((div & iw[None, :]).sum())
+    got = pooled_dense_metric_from_moments(
+        [(cnt, s1, s2, n_win, n_div)], dim, jnp.float64, prev
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.minv), np.asarray(ref.minv), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.chol_minv), np.asarray(ref.chol_minv),
+        rtol=1e-10, atol=1e-12,
+    )
+
+    # mostly-divergent window -> previous metric kept (policy parity)
+    div_all = np.ones((c, L), bool)
+    kept = pooled_dense_metric_from_moments(
+        [(0.0, 0 * s1, 0 * s2, n_win, n_win)], dim, jnp.float64, prev
+    )
+    assert kept is prev
+    assert _pooled_dense_metric([qs], [iw], dim, jnp.float64, prev,
+                                window_div=[div_all]) is prev

@@ -100,3 +100,32 @@ def test_graft_entry_dryrun():
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g)))
     ge.dryrun_multichip(N_DEV)
+
+
+def test_sharded_pooled_dense_matches_vmap(vg):
+    """mesh + mass_matrix='dense-pooled' must (a) run (exercises the
+    device-side moment accumulation's shard_map specs + psum), (b) be
+    bitwise deterministic across executions, and (c) agree statistically
+    with the single-device pooled run (bitwise equality cannot hold: the
+    psum'd window moments differ from the single-device einsum in
+    reduction order, and NUTS trajectories are chaotic in the last ulp)."""
+    dim, n_chains = 3, 2 * N_DEV
+    psi0 = jnp.zeros((n_chains, dim))
+    keys = jax.random.split(jax.random.PRNGKey(4), n_chains)
+    kwargs = dict(n_samples=600, n_adapts=300, mass_matrix="dense-pooled")
+    s_vmap, info_v = run_chains(vg, psi0, keys, mesh=None, **kwargs)
+    mesh = make_chain_mesh(N_DEV)
+    s_shard, info_s = run_chains(vg, psi0, keys, mesh=mesh, **kwargs)
+    s_shard2, _ = run_chains(vg, psi0, keys, mesh=mesh, **kwargs)
+    assert info_s["metric"] == "dense-pooled"
+    assert info_s["inv_mass"].shape == (dim, dim)
+    assert np.array_equal(np.asarray(s_shard), np.asarray(s_shard2))
+    # the pooled metrics agree to reduction-order rounding amplified by
+    # one window of feedback; both must be symmetric PSD
+    for m in (info_v["inv_mass"], info_s["inv_mass"]):
+        np.testing.assert_allclose(m, m.T, atol=1e-12)
+        assert np.all(np.linalg.eigvalsh(m) > 0)
+    a = np.asarray(s_vmap).reshape(-1, dim)
+    b = np.asarray(s_shard).reshape(-1, dim)
+    assert np.all(np.abs(a.mean(0) - b.mean(0)) < 0.15)
+    assert np.all(np.abs(a.std(0) - b.std(0)) < 0.2)
