@@ -471,6 +471,7 @@ def run_chees_resumed(
         welford_m2=jnp.zeros((dim,), dtype),
         inv_mass=inv_mass,
         pc=jnp.full((dim,), 1.0 / np.sqrt(dim), dtype),
+        log_t_ema=jnp.log(traj),
     )
     while pos < n_samples:
         length = min(chunk_size, n_samples - pos)
