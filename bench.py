@@ -509,7 +509,10 @@ def main():
     import jax.numpy as jnp
 
     vg_dev = target.value_and_grad_fn()
-    v_dev, g_dev = vg_dev(jnp.asarray(psi0, target.data.mask.dtype))
+    v_dev, g_dev = _retry_on_outage(
+        vg_dev, jnp.asarray(psi0, target.data.mask.dtype),
+        stage="value/grad cross-check",
+    )
     cpu_rate, vg_np = bench_numpy_reference(host, psi0)
     # The reference bound must use the rate the reference COULD achieve on
     # this machine. A concurrent process (e.g. a long CPU benchmark run)
@@ -533,7 +536,9 @@ def main():
     )
     log(f"value check: dev={float(v_dev):.4f} np={v_np:.4f} rel={rel:.2e}; grad maxrel={gerr:.2e}")
 
-    dev_rate = bench_device_grad(target, psi0)
+    dev_rate = _retry_on_outage(
+        bench_device_grad, target, psi0, stage="device grad rate"
+    )
     log(f"device grad rate: {dev_rate:,.0f} evals/s; cpu reference rate: {cpu_rate:,.0f} evals/s")
 
     result = {
