@@ -45,6 +45,48 @@ def _platform() -> str:
     return plat
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU AOT executables embed the COMPILE machine's CPU features; a
+    cache written before a VM migration/reboot onto a different
+    microarchitecture gets loaded with cpu_aot_loader machine-type
+    mismatch warnings and a genuine SIGILL risk (observed after a host
+    migration on this box). CPU-platform cache dirs therefore carry a
+    host fingerprint so each microarch compiles into its own directory.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux fallback
+        import platform as _platform_mod
+
+        flags = _platform_mod.processor() or _platform_mod.machine()
+    import hashlib
+
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+def _default_dir_key(plat: str) -> str:
+    """Directory name under .jax_cache for a platform string.
+
+    Platforms that execute on the host CPU ("cpu", or "default" which may
+    resolve to CPU) are additionally keyed by the host-CPU fingerprint;
+    accelerator platforms (axon/tpu) keep a stable key so the expensive
+    relay-compiled programs survive host migrations (their executables
+    target the device, not the host microarch).
+    """
+    key = plat.replace(",", "_")
+    plats = plat.split(",")
+    if "cpu" in plats or plat == "default":
+        key = f"{key}-{_host_fingerprint()}"
+    return key
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Idempotently enable JAX's persistent compilation cache.
 
@@ -61,12 +103,13 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         pkg_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        # Key the default dir by the requested platform: relay-compiled
+        # Key the default dir by the requested platform (and, for
+        # CPU-executing platforms, the host microarch): relay-compiled
         # executables embed the COMPILE machine's CPU features, and
         # loading them in a local-CPU process trips XLA's machine-type
         # check (cpu_aot_loader: "could lead to ... SIGILL").
         path = os.path.join(
-            pkg_root, ".jax_cache", _platform().replace(",", "_")
+            pkg_root, ".jax_cache", _default_dir_key(_platform())
         )
     if _ENABLED_PATH == path:
         return path

@@ -38,8 +38,29 @@ def test_default_dir_is_platform_keyed(monkeypatch):
         monkeypatch.setattr(compile_cache, "_platform", lambda p=plat: p)
         dirs[plat] = compile_cache.enable_persistent_cache()
     assert dirs["cpu"] != dirs["axon"]
-    assert dirs["cpu"].endswith(os.path.join(".jax_cache", "cpu"))
+    fp = compile_cache._host_fingerprint()
+    assert dirs["cpu"].endswith(os.path.join(".jax_cache", f"cpu-{fp}"))
+    # accelerator platforms keep a HOST-INDEPENDENT key: their relay-
+    # compiled executables target the device and must survive a host
+    # migration (losing them means minutes of relay recompiles).
     assert dirs["axon"].endswith(os.path.join(".jax_cache", "axon"))
+
+
+def test_cpu_dir_keyed_by_host_microarch(monkeypatch):
+    """CPU cache dirs embed a host-CPU fingerprint: XLA:CPU AOT results
+    compiled on a pre-migration host trip cpu_aot_loader's machine-type
+    check (SIGILL hazard) when loaded on a different microarch."""
+    monkeypatch.delenv("MAGI_DISABLE_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("MAGI_COMPILE_CACHE_DIR", raising=False)
+    monkeypatch.setattr(compile_cache, "_platform", lambda: "cpu")
+    p1 = compile_cache.enable_persistent_cache()
+    monkeypatch.setattr(
+        compile_cache, "_host_fingerprint", lambda: "deadbeef00"
+    )
+    p2 = compile_cache.enable_persistent_cache()
+    assert p1 != p2
+    assert p2.endswith("cpu-deadbeef00")
+    assert jax.config.jax_compilation_cache_dir == p2
 
 
 def test_platform_switch_redirects_live_config(monkeypatch):
