@@ -224,6 +224,32 @@ def build_psi_whitener(
     )
 
 
+def exact_hessian(target, psi_center: np.ndarray) -> np.ndarray:
+    """Dense exact Hessian of ``target.logdensity`` at ``psi_center`` via
+    batched HVPs (jvp of grad; float64 when x64 is live). Column batches
+    bound peak memory to (batch, dim)."""
+    import jax
+
+    psi_center = np.asarray(psi_center, dtype=np.float64)
+    dim = psi_center.shape[0]
+    logdensity = target.logdensity_fn()
+    grad_fn = jax.grad(logdensity)
+    psi_j = jnp.asarray(psi_center)
+
+    @jax.jit
+    def hvp_batch(vs):
+        return jax.vmap(
+            lambda v: jax.jvp(grad_fn, (psi_j,), (v,))[1]
+        )(vs)
+
+    cols = []
+    bs = 128
+    eye = np.eye(dim)
+    for s in range(0, dim, bs):
+        cols.append(np.asarray(hvp_batch(jnp.asarray(eye[s : s + bs]))))
+    return np.concatenate(cols, axis=0)
+
+
 def build_psi_whitener_exact(
     target,
     psi_center: np.ndarray,
@@ -248,27 +274,8 @@ def build_psi_whitener_exact(
     ``eig_floor=1.0`` keeps flat directions (no curvature at the mode) at
     unit z-scale, the same convention as the GN build's theta ridge.
     """
-    import jax
-
     psi_center = np.asarray(psi_center, dtype=np.float64)
-    dim = psi_center.shape[0]
-    logdensity = target.logdensity_fn()
-    grad_fn = jax.grad(logdensity)
-    psi_j = jnp.asarray(psi_center)
-
-    @jax.jit
-    def hvp_batch(vs):
-        return jax.vmap(
-            lambda v: jax.jvp(grad_fn, (psi_j,), (v,))[1]
-        )(vs)
-
-    # Hessian column-batches (bounds peak memory; f64 on host/CPU device).
-    cols = []
-    bs = 128
-    eye = np.eye(dim)
-    for s in range(0, dim, bs):
-        cols.append(np.asarray(hvp_batch(jnp.asarray(eye[s : s + bs]))))
-    hess = np.concatenate(cols, axis=0)
+    hess = exact_hessian(target, psi_center)
     prec = -0.5 * (hess + hess.T)
     wv, vec = np.linalg.eigh(prec)
     wv = np.maximum(wv, eig_floor)
