@@ -91,11 +91,14 @@ class MagiConfig:
     # ladder of pt_temps tempered NUTS chains with Metropolis swaps —
     # crosses posterior modes single chains cannot; returns the T=1
     # chain's draws).
-    # "chees" is EXPERIMENTAL on MAGI posteriors: validated head-to-head
-    # vs NUTS on the FN workload (docs/BENCHMARKS.md config 7), its
-    # trajectory-length adaptation converged on only 1 of 3 seeds
-    # (R-hat 1.44-1.57 on the others) and its best-seed ESS was ~3.4x
-    # below NUTS on the same posterior. Use "nuts" for production.
+    # "chees" converges on MAGI posteriors since the trajectory length
+    # entered sampling as the ITERATE AVERAGE of warmup iterates
+    # (head-to-head vs NUTS on the FN workload, docs/BENCHMARKS.md
+    # config 7: R-hat 1.011-1.018 and min ESS 3390-4865 on all 3 seeds;
+    # before the fix 2 of 3 seeds sat at R-hat 1.44-1.57). NUTS remains
+    # the production default: its ESS/sec is still ~2x higher on this
+    # posterior (per-leaf cost is lower only for ChEES, but NUTS gets
+    # more ESS per gradient).
     sampler: str = "nuts"
     # Trajectory-length criterion for sampler='chees': "snaper" (principal-
     # component projection — robust on multiscale targets) or "chees"
