@@ -152,43 +152,52 @@ def _is_turning(p_left, v_left, p_right, v_right, rho):
     return t_left | t_right
 
 
+def _popcount32(x):
+    """Branchless SWAR popcount for non-negative int32. Scalar while_loops
+    here would vmap into lockstep masked vector loops — per LEAF, inside
+    the innermost tree loop — and dominate the bookkeeping cost (measured:
+    see docs/BENCHMARKS.md per-layer probe)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
 def _leaf_idx_to_ckpt_idxs(n):
     """Checkpoint index range for U-turn checks at leaf n (iterative NUTS).
 
     idx_max = popcount(n >> 1); idx_min = idx_max - (trailing ones of n) + 1.
+    Fully branchless: trailing-ones(n) = ctz(n + 1) = popcount(lsb(n+1) - 1).
     """
-
-    def popcount_body(c):
-        m, cnt = c
-        return m >> 1, cnt + (m & 1)
-
-    _, idx_max = lax.while_loop(lambda c: c[0] > 0, popcount_body, (n >> 1, jnp.int32(0)))
-
-    def trailing_body(c):
-        m, cnt = c
-        return m >> 1, cnt + 1
-
-    _, n_trail = lax.while_loop(
-        lambda c: (c[0] & 1) != 0, trailing_body, (n, jnp.int32(0))
-    )
+    idx_max = _popcount32(n >> 1)
+    np1 = n + 1
+    lsb = np1 & -np1
+    n_trail = _popcount32(lsb - 1)
     return idx_max - n_trail + 1, idx_max
 
 
 def _is_iterative_turning(
     p_leaf, v_leaf, rho_cum, r_ckpts, v_ckpts, rho_ckpts, idx_min, idx_max
 ):
-    """Check U-turns of every sub-subtree that ends at this (odd) leaf."""
+    """Check U-turns of every sub-subtree that ends at this (odd) leaf.
 
-    def body(c):
-        i, _ = c
-        rho_sub = rho_cum - rho_ckpts[i] + r_ckpts[i]
-        turn = _is_turning(r_ckpts[i], v_ckpts[i], p_leaf, v_leaf, rho_sub)
-        return i - 1, turn
-
-    _, turning = lax.while_loop(
-        lambda c: (c[0] >= idx_min) & (~c[1]), body, (idx_max, jnp.asarray(False))
-    )
-    return turning
+    Vectorized over ALL checkpoint rows at once (masked to the active
+    [idx_min, idx_max] range) instead of a serial while_loop with dynamic
+    row gathers: under vmap the serial loop costs lockstep iterations x
+    per-chain gathers, while this form is two small (K, dim) contractions
+    the VPU/MXU eat. Boolean result is identical (any vs first-hit)."""
+    k = r_ckpts.shape[0]
+    rho_sub = rho_cum[None, :] - rho_ckpts + r_ckpts          # (K, dim)
+    rho_c = rho_sub - 0.5 * (r_ckpts + p_leaf[None, :])       # (K, dim)
+    t_left = jnp.einsum(
+        "kd,kd->k", v_ckpts, rho_c, precision=jax.lax.Precision.HIGHEST
+    ) <= 0.0
+    t_right = jnp.einsum(
+        "kd,d->k", rho_c, v_leaf, precision=jax.lax.Precision.HIGHEST
+    ) <= 0.0
+    idx = jnp.arange(k, dtype=idx_max.dtype)
+    active = (idx >= idx_min) & (idx <= idx_max)
+    return jnp.any((t_left | t_right) & active)
 
 
 def _build_subtree(
@@ -258,15 +267,15 @@ def _build_subtree(
 
         idx_min, idx_max = _leaf_idx_to_ckpt_idxs(s.leaf_idx)
         is_even = (s.leaf_idx % 2) == 0
-        r_ckpts = jnp.where(
-            is_even, s.r_ckpts.at[idx_max].set(p), s.r_ckpts
-        )
-        v_ckpts = jnp.where(
-            is_even, s.v_ckpts.at[idx_max].set(v), s.v_ckpts
-        )
-        rho_ckpts = jnp.where(
-            is_even, s.rho_ckpts.at[idx_max].set(rho), s.rho_ckpts
-        )
+        # One-hot masked select instead of .at[idx].set: under vmap the
+        # per-chain dynamic index becomes a scatter, which TPUs serialize;
+        # a (max_depth, dim) where() is a dense select the VPU streams.
+        write_row = (
+            jnp.arange(s.r_ckpts.shape[0], dtype=idx_max.dtype) == idx_max
+        ) & is_even
+        r_ckpts = jnp.where(write_row[:, None], p[None, :], s.r_ckpts)
+        v_ckpts = jnp.where(write_row[:, None], v[None, :], s.v_ckpts)
+        rho_ckpts = jnp.where(write_row[:, None], rho[None, :], s.rho_ckpts)
         turning = jnp.where(
             is_even,
             jnp.asarray(False),

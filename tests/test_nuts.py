@@ -109,3 +109,64 @@ def test_reproducible_given_key():
     s1, _ = f()
     s2, _ = f()
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_branchless_ckpt_index_helpers_match_reference():
+    """The SWAR popcount / branchless checkpoint-range helpers must agree
+    with the textbook loop formulation (Phan & Pradhan iterative NUTS:
+    idx_max = popcount(n >> 1), trailing-ones via shift loop) for every
+    leaf index that can occur at max_depth <= 11."""
+    from manifold_constrained_gaussian_process_inference_tpu.inference.nuts import (
+        _leaf_idx_to_ckpt_idxs,
+        _popcount32,
+    )
+
+    ns = np.arange(0, 2048, dtype=np.int32)
+    lo, hi = jax.jit(jax.vmap(_leaf_idx_to_ckpt_idxs))(jnp.asarray(ns))
+    pc = jax.jit(jax.vmap(_popcount32))(jnp.asarray(ns))
+    for n in ns:
+        assert int(pc[n]) == bin(int(n)).count("1")
+        ref_max = bin(int(n) >> 1).count("1")
+        m, trail = int(n), 0
+        while m & 1:
+            m >>= 1
+            trail += 1
+        assert int(hi[n]) == ref_max
+        assert int(lo[n]) == ref_max - trail + 1
+
+
+def test_vectorized_iterative_turning_matches_serial_loop():
+    """The masked-row vectorized U-turn sweep must reproduce the serial
+    checkpoint walk (any sub-subtree turning in [idx_min, idx_max])."""
+    from manifold_constrained_gaussian_process_inference_tpu.inference.nuts import (
+        _is_iterative_turning,
+    )
+
+    rng = np.random.default_rng(0)
+    k, dim = 8, 5
+    hits = 0
+    for trial in range(200):
+        r = rng.normal(size=(k, dim)).astype(np.float32)
+        v = rng.normal(size=(k, dim)).astype(np.float32)
+        rho_c = np.cumsum(rng.normal(size=(k, dim)), axis=0).astype(np.float32)
+        p_leaf = rng.normal(size=dim).astype(np.float32)
+        v_leaf = rng.normal(size=dim).astype(np.float32)
+        rho_cum = rng.normal(size=dim).astype(np.float32)
+        lo = int(rng.integers(0, k))
+        hi = int(rng.integers(lo, k))
+
+        ref = False
+        for i in range(lo, hi + 1):
+            rho_sub = rho_cum - rho_c[i] + r[i]
+            rc = rho_sub - 0.5 * (r[i] + p_leaf)
+            ref = ref or (float(v[i] @ rc) <= 0.0) or (float(v_leaf @ rc) <= 0.0)
+        got = bool(
+            jax.jit(_is_iterative_turning)(
+                jnp.asarray(p_leaf), jnp.asarray(v_leaf), jnp.asarray(rho_cum),
+                jnp.asarray(r), jnp.asarray(v), jnp.asarray(rho_c),
+                jnp.asarray(lo, dtype=jnp.int32), jnp.asarray(hi, dtype=jnp.int32),
+            )
+        )
+        assert got == ref, (trial, lo, hi)
+        hits += got
+    assert 0 < hits < 200  # both branches exercised
