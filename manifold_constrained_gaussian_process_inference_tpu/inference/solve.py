@@ -212,15 +212,21 @@ def _run_resumed(vg, ckpt, config: MagiConfig, dtype):
             n_chains = 1
             samples = s_pt[None]
             info["lp"] = info["lp"][None]
-            info["diverging"] = info["diverging"][:, 0][None]
-            info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+            info["accept_prob_per_rung"] = info["accept_prob"]
+            info["tree_depth_per_rung"] = info["tree_depth"]
+            for k_ in ("diverging", "num_leapfrog", "accept_prob",
+                       "tree_depth"):
+                info[k_] = info[k_][:, 0][None]
             info["final_psi"] = info["final_psi"][:1]
         else:  # (R, S, dim)
             n_chains = s_pt.shape[0]
             samples = s_pt
             info["lp"] = info["lp"].T
-            info["diverging"] = info["diverging"][:, :, 0].T
-            info["num_leapfrog"] = info["num_leapfrog"][:, :, 0].T
+            info["accept_prob_per_rung"] = info["accept_prob"]
+            info["tree_depth_per_rung"] = info["tree_depth"]
+            for k_ in ("diverging", "num_leapfrog", "accept_prob",
+                       "tree_depth"):
+                info[k_] = info[k_][:, :, 0].T
             info["final_psi"] = info["final_psi"][:, 0]
     elif config.sampler == "nuts":
         from .checkpoint import run_chains_resumed, save_checkpoint
@@ -735,20 +741,28 @@ def solve_magi(
             # normalize info to the (C, S) layout of run_chains; the cold
             # (T=1) rung of each replica is one posterior chain.
             info = dict(info)
+            # Per-rung sampler-health stats (accept_prob/tree_depth, real
+            # NUTS transition values — not fabricated defaults) keep their
+            # full per-rung stacks under *_per_rung; the standard keys take
+            # the cold (T=1) rung like diverging/num_leapfrog.
             if n_rep == 1:
                 samples = s_pt[None]  # (1, S, dim)
                 info["lp"] = info["lp"][None]
-                info["diverging"] = info["diverging"][:, 0][None]
-                info["num_leapfrog"] = info["num_leapfrog"][:, 0][None]
+                info["accept_prob_per_rung"] = info["accept_prob"]
+                info["tree_depth_per_rung"] = info["tree_depth"]
+                for k_ in ("diverging", "num_leapfrog", "accept_prob",
+                           "tree_depth"):
+                    info[k_] = info[k_][:, 0][None]
                 info["final_psi"] = info["final_psi"][:1]
             else:
                 samples = s_pt  # (R, S, dim)
                 info["lp"] = info["lp"].T  # (S, R) -> (R, S)
-                info["diverging"] = info["diverging"][:, :, 0].T
-                info["num_leapfrog"] = info["num_leapfrog"][:, :, 0].T
+                info["accept_prob_per_rung"] = info["accept_prob"]
+                info["tree_depth_per_rung"] = info["tree_depth"]
+                for k_ in ("diverging", "num_leapfrog", "accept_prob",
+                           "tree_depth"):
+                    info[k_] = info[k_][:, :, 0].T
                 info["final_psi"] = info["final_psi"][:, 0]  # cold rungs
-            info["accept_prob"] = np.ones_like(info["lp"])
-            info["tree_depth"] = np.zeros_like(info["lp"])
             info["energy"] = np.zeros_like(info["lp"])
             info["warmup_diverging"] = np.zeros((n_chains, 0))
         elif config.sampler == "nuts":
@@ -834,6 +848,9 @@ def solve_magi(
             diagnostics["swap_acceptance_per_pair"] = info[
                 "swap_acceptance_per_pair"
             ]
+    for k_ in ("accept_prob_per_rung", "tree_depth_per_rung"):
+        if k_ in info:
+            diagnostics[k_] = np.asarray(info[k_])
     return MagiResult(
         theta=theta_samples,
         x_sampled=x_samples,

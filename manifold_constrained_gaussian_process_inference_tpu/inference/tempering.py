@@ -236,6 +236,7 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
         out = (
             qs if emit_all else qs[0],
             lp[0], diverging, stats.num_leapfrog,
+            stats.accept_prob, stats.tree_depth,
         )
         return new, out
 
@@ -430,7 +431,7 @@ def run_parallel_tempering(
             jnp.asarray(in_window[pos : pos + length]),
             jnp.asarray(window_end[pos : pos + length]),
         )
-        carry, (q0s, lp0s_, div, _) = run_chunk(
+        carry, (q0s, lp0s_, div, _, _, _) = run_chunk(
             carry, warm_step, flags, length, "w", metric
         )
         warm_div.append(np.asarray(div))
@@ -514,17 +515,20 @@ def run_parallel_tempering(
     temperatures = 1.0 / np.asarray(carry.inv_temps, dtype=np.float64)[0]
 
     samples, lps, divs, leaps = [], [], [], []
+    accs, depths = [], []
     pos = 0
     while pos < n_keep:
         length = min(chunk_size, n_keep - pos)
         flags = (jnp.zeros(length, bool), jnp.zeros(length, bool))
-        carry, (qs, lp0s_, div, leap) = run_chunk(
+        carry, (qs, lp0s_, div, leap, acc, dep) = run_chunk(
             carry, sample_step, flags, length, "s", metric
         )
         samples.append(np.asarray(qs))
         lps.append(np.asarray(lp0s_))
         divs.append(np.asarray(div))
         leaps.append(np.asarray(leap))
+        accs.append(np.asarray(acc))
+        depths.append(np.asarray(dep))
         pos += length
         if checkpoint_path:
             save_pt_checkpoint(
@@ -534,7 +538,8 @@ def run_parallel_tempering(
         if progress:
             logger.info("PT sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0)
 
-    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
+    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps,
+                    accs=accs, depths=depths)
     if pooled:
         info["metric"] = "dense-pooled"
         info["inv_mass"] = np.asarray(metric.minv)  # (K, dim, dim)
@@ -553,7 +558,8 @@ def _squeeze_rep(a):
     return a[0] if a.ndim >= 1 and a.shape[0] == 1 else a
 
 
-def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
+def _pt_info(carry, temperatures, lps, divs, leaps, k_temps,
+             accs=None, depths=None):
     # Counters carry a leading replica axis; swap statistics pool over it.
     acc = np.asarray(carry.n_swap_accept, dtype=np.float64).sum(axis=0)[
         : k_temps - 1
@@ -570,12 +576,20 @@ def _pt_info(carry, temperatures, lps, divs, leaps, k_temps):
     lp = cat(lps, np.zeros((0, n_rep)))
     div = cat(divs, np.zeros((0, n_rep, k_temps)))
     leap = cat(leaps, np.zeros((0, n_rep, k_temps)))
+    # Real per-rung NUTS health stats (VERDICT r3 era artifacts carried
+    # fabricated accept=1 / depth=0 defaults from solve_magi; PT now
+    # reports the sampled-phase per-rung values, shaped like num_leapfrog).
+    acc_s = cat(accs or [], np.zeros((0, n_rep, k_temps)))
+    dep_s = cat(depths or [], np.zeros((0, n_rep, k_temps)))
     if n_rep == 1:
         lp, div, leap = lp[:, 0], div[:, 0], leap[:, 0]
+        acc_s, dep_s = acc_s[:, 0], dep_s[:, 0]
     return {
         "lp": lp,
         "diverging": div,
         "num_leapfrog": leap,
+        "accept_prob": acc_s,
+        "tree_depth": dep_s,
         "swap_acceptance": swap_rate,
         "swap_acceptance_per_pair": per_pair,
         "temperatures": temperatures,
@@ -733,16 +747,21 @@ def run_parallel_tempering_resumed(
 
     t0 = time.time()
     samples, lps, divs, leaps = [], [], [], []
+    accs, depths = [], []
     pos = 0
     drawn0 = int(ckpt.get("n_samples_drawn", 0))
     while pos < n_samples:
         length = min(chunk_size, n_samples - pos)
         flags = (jnp.zeros(length, bool), jnp.zeros(length, bool))
-        carry, (q0s, lp0s, div, leap) = run_chunk(carry, flags, length)
+        carry, (q0s, lp0s, div, leap, acc, dep) = run_chunk(
+            carry, flags, length
+        )
         samples.append(np.asarray(q0s))
         lps.append(np.asarray(lp0s))
         divs.append(np.asarray(div))
         leaps.append(np.asarray(leap))
+        accs.append(np.asarray(acc))
+        depths.append(np.asarray(dep))
         pos += length
         if checkpoint_path:
             save_pt_checkpoint(
@@ -755,7 +774,8 @@ def run_parallel_tempering_resumed(
                 pos, n_samples, time.time() - t0,
             )
 
-    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps)
+    info = _pt_info(carry, temperatures, lps, divs, leaps, k_temps,
+                    accs=accs, depths=depths)
     new_ckpt = pt_checkpoint(carry, n_samples_drawn=drawn0 + n_samples, metric=metric)
     out = (
         np.concatenate(samples)

@@ -73,6 +73,27 @@ def test_pt_exact_on_gaussian():
     assert s.shape == (2000, 3)
 
 
+def test_pt_reports_real_health_stats():
+    """PT must report REAL per-rung NUTS accept_prob/tree_depth for the
+    sampling phase (solve_magi used to fabricate accept=1 / depth=0 when
+    the sampler omitted them, poisoning benchmark health forensics)."""
+    vg = jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
+    s, info = run_parallel_tempering(
+        vg, jnp.zeros(2), jax.random.PRNGKey(3), n_samples=400,
+        n_adapts=200, n_temps=3, max_temp=4.0, chunk_size=200,
+    )
+    n_keep, k_temps = s.shape[0], 3
+    for key in ("accept_prob", "tree_depth"):
+        assert info[key].shape == (n_keep, k_temps)
+    acc = info["accept_prob"]
+    # Dual averaging targets 0.8: real acceptance statistics are noisy,
+    # fabricated ones are exactly 1.0 everywhere.
+    assert 0.5 < acc.mean() < 1.0 - 1e-6
+    # On a 2-D Gaussian NUTS doubles at least once nearly every step.
+    assert info["tree_depth"].mean() > 0.5
+    assert info["num_leapfrog"].shape == (n_keep, k_temps)
+
+
 def test_pt_single_temperature_degenerates_to_nuts_like():
     vg = jax.value_and_grad(lambda q: -0.5 * jnp.sum(q * q))
     s, info = run_parallel_tempering(
