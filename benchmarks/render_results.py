@@ -29,6 +29,10 @@ def fmt(x, nd=3):
 def render_basin(path):
     """Render basin_reference.jsonl: production vs trusted gold occupancy."""
     rows = [json.loads(l) for l in open(path) if l.strip()]
+    # Keep only the two comparison arms (the file also carries "laplace"
+    # whitener-diagnostic rows that have no occupancy fields).
+    rows = [r for r in rows if r.get("mode") in ("production", "trusted")
+            or "error" in r]
     rows.sort(key=lambda r: (r.get("mode", ""), r.get("seed", 0)))
     print("| arm | seed | iters x replicas | occupancy (data basin) "
           "| basin ESS | theta RMSE (occupied basin) | swap acc | div |")
