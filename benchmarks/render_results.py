@@ -1,8 +1,9 @@
-"""Render results_r3.jsonl (and chain_sweep.jsonl) into the markdown
-tables used by docs/BENCHMARKS.md — tables are generated from the raw
-artifacts, never hand-transcribed.
+"""Render a sweep jsonl (results_r4.jsonl, basin_reference.jsonl,
+chain_sweep.jsonl, ...) into the markdown tables used by
+docs/BENCHMARKS.md — tables are generated from the raw artifacts,
+never hand-transcribed.
 
-    python benchmarks/render_results.py [benchmarks/results_r3.jsonl]
+    python benchmarks/render_results.py [benchmarks/results_r4.jsonl]
 """
 from __future__ import annotations
 
@@ -58,7 +59,7 @@ def render_basin(path):
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/results_r3.jsonl"
+    path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/results_r4.jsonl"
     if "basin" in path:
         render_basin(path)
         return
