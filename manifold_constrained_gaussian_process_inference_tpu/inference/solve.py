@@ -744,7 +744,11 @@ def solve_magi(
             # Per-rung sampler-health stats (accept_prob/tree_depth, real
             # NUTS transition values — not fabricated defaults) keep their
             # full per-rung stacks under *_per_rung; the standard keys take
-            # the cold (T=1) rung like diverging/num_leapfrog.
+            # row 0. NB the conventions differ by design (tempering.py
+            # pt_step out-tuple): accept_prob/tree_depth/num_leapfrog are
+            # RUNG-ordered (pre-swap; row 0 = the rung-0 transition, the
+            # step-size-health convention) while diverging is swap-permuted
+            # to travel with the emitted cold-chain positions.
             if n_rep == 1:
                 samples = s_pt[None]  # (1, S, dim)
                 info["lp"] = info["lp"][None]

@@ -233,6 +233,12 @@ def _make_pt_step(vg: Callable, k_temps: int, target_accept: float,
             n_swap_accept=n_acc, n_swap_try=n_try,
             iteration=carry.iteration + 1,
         )
+        # NOTE on ordering conventions: accept_prob / tree_depth /
+        # num_leapfrog are RUNG-ordered (pre-swap) by design — row 0
+        # describes the rung-0 NUTS transition, the right convention for
+        # step-size health. `diverging` is swap-PERMUTED so the flag
+        # travels with the emitted positions (a diverged draw stays
+        # flagged wherever the swap sends it).
         out = (
             qs if emit_all else qs[0],
             lp[0], diverging, stats.num_leapfrog,

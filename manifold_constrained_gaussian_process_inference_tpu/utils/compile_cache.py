@@ -46,45 +46,58 @@ def _platform() -> str:
 
 
 def _host_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags.
+    """Short hash of this host's CPU model name + feature flags.
 
     XLA:CPU AOT executables embed the COMPILE machine's CPU features; a
     cache written before a VM migration/reboot onto a different
     microarchitecture gets loaded with cpu_aot_loader machine-type
     mismatch warnings and a genuine SIGILL risk (observed after a host
-    migration on this box). CPU-platform cache dirs therefore carry a
-    host fingerprint so each microarch compiles into its own directory.
+    migration on this box). Cache dirs therefore carry a host fingerprint
+    so each microarch compiles into its own directory.
+
+    The MODEL NAME must be part of the hash, not just the flags line:
+    LLVM sets per-model tuning features (+prefer-no-gather/scatter on
+    some Xeons) from cpuid model detection, so two hosts with identical
+    /proc/cpuinfo flags can still fail XLA's machine-feature check
+    (observed in round 4: flags-only fingerprint stayed stable across a
+    migration that changed the prefer-no-gather tuning set).
     """
-    flags = ""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                if line.startswith(("model name", "Hardware")) and len(ident) < 1:
+                    ident.append(line.split(":", 1)[1].strip())
+                elif line.startswith(("flags", "Features")):
+                    ident.append(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                    )
                     break
     except OSError:  # pragma: no cover - non-Linux fallback
         import platform as _platform_mod
 
-        flags = _platform_mod.processor() or _platform_mod.machine()
+        ident = [_platform_mod.processor() or _platform_mod.machine()]
     import hashlib
 
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return hashlib.sha1("|".join(ident).encode()).hexdigest()[:10]
 
 
 def _default_dir_key(plat: str) -> str:
     """Directory name under .jax_cache for a platform string.
 
-    Platforms that execute on the host CPU ("cpu", or "default" which may
-    resolve to CPU) are additionally keyed by the host-CPU fingerprint;
-    accelerator platforms (axon/tpu) keep a stable key so the expensive
-    relay-compiled programs survive host migrations (their executables
-    target the device, not the host microarch).
+    EVERY platform dir — including pure-accelerator ones (axon/tpu) — is
+    keyed by the host-CPU fingerprint. Round 4 keyed only CPU-executing
+    platform dirs, reasoning that relay-compiled executables target the
+    device; in practice the round-4 driver bench artifact still carried
+    the cpu_aot_loader machine-feature-mismatch warning ("could lead to
+    ... SIGILL") mid-run, i.e. relay-compiled cache entries DO embed
+    host-executing AOT components. Abandoning relay compiles after a host
+    migration (re-pay ~50 s/program once) is the safe direction; loading
+    stale host-targeted code is not.
     """
-    key = plat.replace(",", "_")
-    plats = plat.split(",")
-    if "cpu" in plats or plat == "default":
-        key = f"{key}-{_host_fingerprint()}"
-    return key
+    # "v2" abandons every dir written under the round-4 flags-only
+    # fingerprint scheme (some held feature-mismatched entries).
+    return f"{plat.replace(',', '_')}-v2-{_host_fingerprint()}"
 
 
 def enable_persistent_cache(path: str | None = None) -> str | None:

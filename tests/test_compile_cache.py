@@ -39,11 +39,12 @@ def test_default_dir_is_platform_keyed(monkeypatch):
         dirs[plat] = compile_cache.enable_persistent_cache()
     assert dirs["cpu"] != dirs["axon"]
     fp = compile_cache._host_fingerprint()
-    assert dirs["cpu"].endswith(os.path.join(".jax_cache", f"cpu-{fp}"))
-    # accelerator platforms keep a HOST-INDEPENDENT key: their relay-
-    # compiled executables target the device and must survive a host
-    # migration (losing them means minutes of relay recompiles).
-    assert dirs["axon"].endswith(os.path.join(".jax_cache", "axon"))
+    assert dirs["cpu"].endswith(os.path.join(".jax_cache", f"cpu-v2-{fp}"))
+    # accelerator platform dirs are ALSO host-keyed: relay-compiled cache
+    # entries embed host-executing AOT components (the round-4 driver
+    # bench artifact carried the cpu_aot_loader mismatch warning from the
+    # host-stable axon dir), so a host migration must abandon them too.
+    assert dirs["axon"].endswith(os.path.join(".jax_cache", f"axon-v2-{fp}"))
 
 
 def test_cpu_dir_keyed_by_host_microarch(monkeypatch):
@@ -59,7 +60,7 @@ def test_cpu_dir_keyed_by_host_microarch(monkeypatch):
     )
     p2 = compile_cache.enable_persistent_cache()
     assert p1 != p2
-    assert p2.endswith("cpu-deadbeef00")
+    assert p2.endswith("cpu-v2-deadbeef00")
     assert jax.config.jax_compilation_cache_dir == p2
 
 
