@@ -93,7 +93,8 @@ def run_chains_resumed(
     diagonal metric and the shared dense-pooled metric (meta
     {"metric": "dense-pooled"}, inv_mass saved as the (dim, dim) M^-1).
     Returns (samples (C, S, dim), info, new_checkpoint)."""
-    from .nuts import ChainState, DenseMetric, nuts_transition
+    from .nuts import ChainState, DenseMetric
+    from .nuts_batched import nuts_transition_batched
 
     if dtype is None:
         from ..config import default_dtype
@@ -109,32 +110,39 @@ def run_chains_resumed(
             minv=jnp.asarray(minv64, dtype),
             chol_minv=jnp.asarray(np.linalg.cholesky(minv64), dtype),
         )
-        metric_axis = None
     else:
-        inv_mass = jnp.asarray(ckpt.inv_mass, dtype)
-        metric_axis = 0
+        inv_mass = jnp.asarray(ckpt.inv_mass, dtype)  # (C, dim) per chain
     keys = jnp.asarray(ckpt.key)
+    vg_b = jax.vmap(vg)
 
-    def one_chain(q0, key, eps_c, inv_mass_c):
-        logp0, grad0 = vg(q0)
+    def run(psi, keys):
+        logp0, grad0 = vg_b(psi)
 
         def step(chain, _):
-            key, k_step = jax.random.split(chain.key)
-            q, logp, grad, stats = nuts_transition(
-                vg, chain.q, chain.logp, chain.grad, k_step, eps_c,
-                inv_mass_c, max_depth=max_depth,
+            ks = jax.vmap(lambda k: jax.random.split(k))(chain.key)
+            key, k_step = ks[:, 0], ks[:, 1]
+            q, logp, grad, stats = nuts_transition_batched(
+                vg_b, chain.q, chain.logp, chain.grad, k_step, eps,
+                inv_mass, max_depth=max_depth,
             )
-            return ChainState(q=q, logp=logp, grad=grad, key=key), (q, logp, stats)
+            return (
+                ChainState(q=q, logp=logp, grad=grad, key=key),
+                (q, logp, stats),
+            )
 
         final, (qs, lps, stats) = jax.lax.scan(
-            step, ChainState(q=q0, logp=logp0, grad=grad0, key=key),
+            step, ChainState(q=psi, logp=logp0, grad=grad0, key=keys),
             None, length=n_samples,
+        )
+        # scan emits (S, C, ...); downstream expects chains leading
+        qs = jnp.swapaxes(qs, 0, 1)
+        lps = lps.T
+        stats = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), stats
         )
         return qs, lps, stats, final.q, final.key
 
-    qs, lps, stats, final_q, final_key = jax.jit(
-        jax.vmap(one_chain, in_axes=(0, 0, 0, metric_axis))
-    )(psi, keys, eps, inv_mass)
+    qs, lps, stats, final_q, final_key = jax.jit(run)(psi, keys)
     info = {
         "lp": lps,
         "accept_prob": stats.accept_prob,

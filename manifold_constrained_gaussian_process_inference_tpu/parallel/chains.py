@@ -42,6 +42,11 @@ from ..inference.nuts import (
     make_warmup_step,
     make_warmup_step_pooled,
 )
+from ..inference.nuts_batched import (
+    init_warmup_carry_batched,
+    make_sample_step_pooled_batched,
+    make_warmup_step_pooled_batched,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -212,9 +217,17 @@ def run_chains(
     progress: bool = False,
     checkpoint_path: Optional[str] = None,
     mass_matrix: str = "diag",
+    batched_transition: bool = True,
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
     (samples (C, S, dim) numpy, info dict with a leading chain axis).
+
+    ``batched_transition`` (dense-pooled only): run the hand-batched NUTS
+    transition (inference/nuts_batched.py) instead of
+    ``vmap(nuts_transition)`` — same trajectories given the same keys
+    (tests/test_nuts_batched.py), materially less per-leaf bookkeeping
+    traffic (measured decomposition: benchmarks/lockstep_probe.py).
+    Set False to A/B against the vmapped implementation.
 
     ``checkpoint_path``: when set, a SamplerCheckpoint (positions, adapted
     step sizes/metrics, PRNG keys) is written after every sampling chunk —
@@ -232,7 +245,7 @@ def run_chains(
         return _run_chains_pooled(
             vg, psi0, keys, n_samples, n_adapts, initial_step_size,
             target_accept, max_depth, mesh, chunk_size, progress,
-            checkpoint_path,
+            checkpoint_path, batched_transition,
         )
     if mass_matrix != "diag":
         raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
@@ -362,6 +375,7 @@ def run_chains(
 def _run_chains_pooled(
     vg, psi0, keys, n_samples, n_adapts, initial_step_size,
     target_accept, max_depth, mesh, chunk_size, progress, checkpoint_path,
+    batched_transition=True,
 ):
     """run_chains with the cross-chain pooled dense metric (see run_chains
     docstring). Warmup chunks are aligned to adaptation-window boundaries;
@@ -371,6 +385,7 @@ def _run_chains_pooled(
     n_chains, dim = psi0.shape
     n_keep = n_samples - n_adapts
     dtype = psi0.dtype
+    vg_b = jax.vmap(vg) if batched_transition else None
 
     def wrap(f, n_mapped):
         """vmap over chains for the first n_mapped args; remaining args
@@ -401,28 +416,33 @@ def _run_chains_pooled(
     eye = jnp.eye(dim, dtype=dtype)
     metric = DenseMetric(minv=eye, chol_minv=eye)
 
-    init = wrap(
-        lambda q0, k, _m: init_warmup_carry(vg, q0, k, initial_step_size),
-        2,
-    )
+    if batched_transition:
+        def init_b(q0s, ks, _m):
+            return init_warmup_carry_batched(
+                vg_b, q0s, ks, initial_step_size
+            )
+
+        if mesh is None:
+            init = jax.jit(init_b)
+        else:
+            init = jax.jit(jax.shard_map(
+                init_b, mesh=mesh,
+                in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                out_specs=P(CHAIN_AXIS), check_vma=False,
+            ))
+    else:
+        init = wrap(
+            lambda q0, k, _m: init_warmup_carry(vg, q0, k, initial_step_size),
+            2,
+        )
     carry = init(psi0, keys, metric)
 
-    warmup_step = make_warmup_step_pooled(vg, target_accept, max_depth)
     axis_name = mesh.axis_names[0] if mesh is not None else None
     hi = jax.lax.Precision.HIGHEST
 
-    def warmup_chunk_batched(carry, iw, we, m):
-        """Batched warmup chunk emitting DEVICE-accumulated window moments
-        (divergence-masked count / sum / sum of outer products over all
-        chains) instead of the raw (C, L, dim) positions — the positions
-        stay on device (see pooled_dense_metric_from_moments)."""
-
-        def scan_one(c, iw1, we1):
-            return jax.lax.scan(
-                lambda cc, x: warmup_step(cc, x, m), c, (iw1, we1)
-            )
-
-        carry, (qs, div) = jax.vmap(scan_one)(carry, iw, we)  # (C, L, dim)
+    def _window_moments(qs, div, iw, m_axis):
+        """Divergence-masked window moments from a chunk's (C, L, dim)
+        positions (device-side; see pooled_dense_metric_from_moments)."""
         iw_f = iw.astype(qs.dtype)
         w = iw_f * (1.0 - div.astype(qs.dtype))               # (C, L)
         qm = qs * w[:, :, None]
@@ -432,9 +452,48 @@ def _run_chains_pooled(
         n_win = jnp.sum(iw_f)
         n_div = jnp.sum(iw_f * div.astype(qs.dtype))
         moments = (cnt, s1, s2, n_win, n_div)
-        if axis_name is not None:
-            moments = jax.lax.psum(moments, axis_name)
-        return carry, div, moments
+        if m_axis is not None:
+            moments = jax.lax.psum(moments, m_axis)
+        return moments
+
+    if batched_transition:
+        warmup_step_b = make_warmup_step_pooled_batched(
+            vg_b, target_accept, max_depth
+        )
+
+        def warmup_chunk_batched(carry, iw, we, m):
+            """iw/we are (L,) scalars per step (identical across chains)."""
+            carry, (qs, div) = jax.lax.scan(
+                lambda cc, x: warmup_step_b(cc, x, m), carry, (iw, we)
+            )
+            qs = jnp.swapaxes(qs, 0, 1)                        # (C, L, dim)
+            div = div.T                                        # (C, L)
+            iw_c = jnp.broadcast_to(iw[None, :], div.shape)
+            moments = _window_moments(qs, div, iw_c, axis_name)
+            return carry, div, moments
+
+        warmup_in_specs = (P(CHAIN_AXIS), P(), P(), P())
+    else:
+        warmup_step = make_warmup_step_pooled(vg, target_accept, max_depth)
+
+        def warmup_chunk_batched(carry, iw, we, m):
+            """Batched warmup chunk emitting DEVICE-accumulated window
+            moments (divergence-masked count / sum / sum of outer products
+            over all chains) instead of the raw (C, L, dim) positions —
+            the positions stay on device."""
+
+            def scan_one(c, iw1, we1):
+                return jax.lax.scan(
+                    lambda cc, x: warmup_step(cc, x, m), c, (iw1, we1)
+                )
+
+            carry, (qs, div) = jax.vmap(scan_one)(carry, iw, we)
+            moments = _window_moments(qs, div, iw, axis_name)
+            return carry, div, moments
+
+        warmup_in_specs = (
+            P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS), P()
+        )
 
     if mesh is None:
         def wrap_warmup(f):
@@ -443,7 +502,7 @@ def _run_chains_pooled(
         def wrap_warmup(f):
             return jax.jit(jax.shard_map(
                 f, mesh=mesh,
-                in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                in_specs=warmup_in_specs,
                 out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
                 check_vma=False,
             ))
@@ -456,8 +515,16 @@ def _run_chains_pooled(
     chunks = _window_aligned_chunks(window_end, chunk_size)
     compiled_warmup = {}
     for length in chunks:
-        iw = jnp.asarray(np.tile(in_window[pos : pos + length], (n_chains, 1)))
-        we = jnp.asarray(np.tile(window_end[pos : pos + length], (n_chains, 1)))
+        if batched_transition:
+            iw = jnp.asarray(in_window[pos : pos + length])
+            we = jnp.asarray(window_end[pos : pos + length])
+        else:
+            iw = jnp.asarray(
+                np.tile(in_window[pos : pos + length], (n_chains, 1))
+            )
+            we = jnp.asarray(
+                np.tile(window_end[pos : pos + length], (n_chains, 1))
+            )
         if length not in compiled_warmup:
             compiled_warmup[length] = wrap_warmup(warmup_chunk_batched)
         carry, div, moments = compiled_warmup[length](carry, iw, we, metric)
@@ -477,12 +544,42 @@ def _run_chains_pooled(
 
     eps_final = jnp.exp(carry.da.log_eps_avg).astype(dtype)
 
-    sample_step = make_sample_step_pooled(vg, max_depth)
+    if batched_transition:
+        sample_step_b = make_sample_step_pooled_batched(vg_b, max_depth)
 
-    def sample_chunk(carry, m, length):
-        return jax.lax.scan(
-            lambda c, x: sample_step(c, x, m), carry, None, length=length
-        )
+        def sample_chunk_b(scarry, m, length):
+            scarry, (qs, lps, stats) = jax.lax.scan(
+                lambda c, x: sample_step_b(c, x, m), scarry, None,
+                length=length,
+            )
+            # scan emits (L, C, ...); downstream expects chains leading
+            qs = jnp.swapaxes(qs, 0, 1)
+            lps = lps.T
+            stats = jax.tree_util.tree_map(
+                lambda a: jnp.swapaxes(a, 0, 1), stats
+            )
+            return scarry, (qs, lps, stats)
+
+        def wrap_sample(f):
+            if mesh is None:
+                return jax.jit(f)
+            return jax.jit(jax.shard_map(
+                f, mesh=mesh, in_specs=(P(CHAIN_AXIS), P()),
+                out_specs=P(CHAIN_AXIS), check_vma=False,
+            ))
+
+        def make_compiled_sample(length):
+            return wrap_sample(partial(sample_chunk_b, length=length))
+    else:
+        sample_step = make_sample_step_pooled(vg, max_depth)
+
+        def sample_chunk(carry, m, length):
+            return jax.lax.scan(
+                lambda c, x: sample_step(c, x, m), carry, None, length=length
+            )
+
+        def make_compiled_sample(length):
+            return wrap(partial(sample_chunk, length=length), 1)
 
     scarry = SampleCarry(
         chain=carry.chain, eps=eps_final, inv_mass=carry.inv_mass
@@ -495,9 +592,7 @@ def _run_chains_pooled(
     pos = 0
     for length in _chunk_lengths(n_keep, chunk_size):
         if length not in compiled_sample:
-            compiled_sample[length] = wrap(
-                partial(sample_chunk, length=length), 1
-            )
+            compiled_sample[length] = make_compiled_sample(length)
         scarry, (qs, lps, stats) = compiled_sample[length](scarry, metric)
         sample_chunks.append(np.asarray(qs))
         lp_chunks.append(np.asarray(lps))
