@@ -106,9 +106,11 @@ def run_chains_resumed(
     dense = bool(ckpt.meta) and ckpt.meta.get("metric") == "dense-pooled"
     if dense:
         minv64 = np.asarray(ckpt.inv_mass, dtype=np.float64)
+        chol64 = np.linalg.cholesky(minv64)
         inv_mass = DenseMetric(
             minv=jnp.asarray(minv64, dtype),
-            chol_minv=jnp.asarray(np.linalg.cholesky(minv64), dtype),
+            chol_minv=jnp.asarray(chol64, dtype),
+            p_chol=jnp.asarray(np.linalg.inv(chol64).T, dtype),
         )
     else:
         inv_mass = jnp.asarray(ckpt.inv_mass, dtype)  # (C, dim) per chain

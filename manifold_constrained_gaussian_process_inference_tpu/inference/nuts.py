@@ -52,10 +52,20 @@ class DenseMetric(NamedTuple):
 
     Momenta are N(0, M) with M = (L L^T)^-1 for L = chol_minv, drawn as
     p = L^-T z. A plain (dim,) array everywhere a metric is accepted means
-    the diagonal metric (static dispatch at trace time)."""
+    the diagonal metric (static dispatch at trace time).
+
+    ``p_chol`` (optional) is the PRECOMPUTED L^-T (upper triangular, the
+    Cholesky-like factor of M): when present the momentum draw is one
+    matmul instead of a triangular solve. XLA's TRSM is a ~dim-step
+    sequential blocked algorithm — measured ~4-5 ms per transition at
+    dim=799 on TPU v5e, the dominant per-transition fixed cost
+    (benchmarks/tree_microbench.py) — while the matmul is ~10 us. All
+    production constructors fill it (host float64 inverse); None keeps
+    the solve fallback for hand-built metrics in tests."""
 
     minv: jnp.ndarray       # (dim, dim)
     chol_minv: jnp.ndarray  # (dim, dim) lower
+    p_chol: jnp.ndarray | None = None  # (dim, dim) upper: p = p_chol @ z
 
 
 def _minv_mv(inv_mass, p):
@@ -71,6 +81,10 @@ def _minv_mv(inv_mass, p):
 def _draw_momentum(key, q, inv_mass):
     z = jax.random.normal(key, q.shape, q.dtype)
     if isinstance(inv_mass, DenseMetric):
+        if inv_mass.p_chol is not None:
+            return jnp.matmul(
+                inv_mass.p_chol, z, precision=jax.lax.Precision.HIGHEST
+            )
         return jax.scipy.linalg.solve_triangular(
             inv_mass.chol_minv.T, z, lower=False
         )

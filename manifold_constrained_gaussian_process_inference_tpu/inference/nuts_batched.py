@@ -81,9 +81,14 @@ def _rowdot(a, b):
 
 def _draw_momentum_b(keys, q, inv_mass):
     """Per-chain momentum draws (same per-chain normals as the vmapped
-    single-chain path)."""
+    single-chain path). With DenseMetric.p_chol present this is one
+    (C, dim) x (dim, dim) matmul; the triangular-solve fallback costs
+    ~4-5 ms per call at dim=799 (XLA TRSM is sequential; see the
+    DenseMetric docstring)."""
     z = jax.vmap(lambda k: jax.random.normal(k, q.shape[1:], q.dtype))(keys)
     if isinstance(inv_mass, DenseMetric):
+        if inv_mass.p_chol is not None:
+            return jnp.matmul(z, inv_mass.p_chol.T, precision=HI)
         return jax.scipy.linalg.solve_triangular(
             inv_mass.chol_minv.T, z.T, lower=False
         ).T

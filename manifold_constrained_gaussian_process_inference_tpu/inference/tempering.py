@@ -361,7 +361,7 @@ def run_parallel_tempering(
         eye = jnp.broadcast_to(
             jnp.eye(dim, dtype=dtype), (k_temps, dim, dim)
         )
-        metric = DenseMetric(minv=eye, chol_minv=eye)
+        metric = DenseMetric(minv=eye, chol_minv=eye, p_chol=eye)
 
     in_window, window_end = build_window_schedule(n_adapts)
     warm_step = jax.vmap(
@@ -456,20 +456,21 @@ def run_parallel_tempering(
             buf = buf[keep]
             dbuf = np.concatenate(win_div, axis=0)[keep].astype(bool)
             prev_minv = np.asarray(metric.minv)
-            minvs, chols = [], []
+            minvs, chols, pchols = [], [], []
             for k_i in range(k_temps):
                 # Divergence-aware pooling, same rationale as
                 # chains._pooled_dense_metric: divergent transitions emit
                 # repeated boundary-biased positions — drop them, and keep
                 # the previous rung metric if most of the window diverged.
                 d_k = dbuf[:, :, k_i]                   # (Lw', R)
+                prev_chol64 = np.linalg.cholesky(
+                    np.asarray(prev_minv[k_i], dtype=np.float64)
+                )
                 prev_k = DenseMetric(
                     minv=jnp.asarray(prev_minv[k_i], dtype),
-                    chol_minv=jnp.asarray(
-                        np.linalg.cholesky(
-                            np.asarray(prev_minv[k_i], dtype=np.float64)
-                        ),
-                        dtype,
+                    chol_minv=jnp.asarray(prev_chol64, dtype),
+                    p_chol=jnp.asarray(
+                        np.linalg.inv(prev_chol64).T, dtype
                     ),
                 )
                 frac = float(d_k.mean()) if d_k.size else 0.0
@@ -489,8 +490,10 @@ def run_parallel_tempering(
                     )
                 minvs.append(m_k.minv)
                 chols.append(m_k.chol_minv)
+                pchols.append(m_k.p_chol)
             metric = DenseMetric(
-                minv=jnp.stack(minvs), chol_minv=jnp.stack(chols)
+                minv=jnp.stack(minvs), chol_minv=jnp.stack(chols),
+                p_chol=jnp.stack(pchols),
             )
             win_qs, win_mask, win_div = [], [], []
         if ladder_adapt and pos <= ladder_freeze_at:
@@ -717,10 +720,12 @@ def run_parallel_tempering_resumed(
         from .nuts import DenseMetric
 
         minv64 = np.asarray(ckpt["metric_minv"], dtype=np.float64)
+        chol64 = np.stack([np.linalg.cholesky(m) for m in minv64])
         metric = DenseMetric(
             minv=jnp.asarray(minv64, dtype),
-            chol_minv=jnp.asarray(
-                np.stack([np.linalg.cholesky(m) for m in minv64]), dtype
+            chol_minv=jnp.asarray(chol64, dtype),
+            p_chol=jnp.asarray(
+                np.stack([np.linalg.inv(c).T for c in chol64]), dtype
             ),
         )
     sample_step = jax.vmap(

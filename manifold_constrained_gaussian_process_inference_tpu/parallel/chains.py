@@ -199,6 +199,9 @@ def _metric_from_cov(
     return DenseMetric(
         minv=jnp.asarray(reg, dtype=dtype),
         chol_minv=jnp.asarray(chol, dtype=dtype),
+        # momentum factor L^-T precomputed in f64 (matmul beats TRSM on
+        # TPU by ~400x per transition; DenseMetric docstring)
+        p_chol=jnp.asarray(np.linalg.inv(chol).T, dtype=dtype),
     )
 
 
@@ -414,7 +417,7 @@ def _run_chains_pooled(
         keys = jax.device_put(keys, sharding)
 
     eye = jnp.eye(dim, dtype=dtype)
-    metric = DenseMetric(minv=eye, chol_minv=eye)
+    metric = DenseMetric(minv=eye, chol_minv=eye, p_chol=eye)
 
     if batched_transition:
         def init_b(q0s, ks, _m):
@@ -514,6 +517,9 @@ def _run_chains_pooled(
     t0 = time.time()
     chunks = _window_aligned_chunks(window_end, chunk_size)
     compiled_warmup = {}
+    import os as _os
+
+    profile_chunks = _os.environ.get("MAGI_PROFILE_CHUNKS", "") == "1"
     for length in chunks:
         if batched_transition:
             iw = jnp.asarray(in_window[pos : pos + length])
@@ -527,7 +533,14 @@ def _run_chains_pooled(
             )
         if length not in compiled_warmup:
             compiled_warmup[length] = wrap_warmup(warmup_chunk_batched)
+        t_call = time.time()
         carry, div, moments = compiled_warmup[length](carry, iw, we, metric)
+        if profile_chunks:
+            jax.block_until_ready(carry)
+            logger.warning(
+                "warmup chunk %d+%d: device %.2fs",
+                pos, length, time.time() - t_call,
+            )
         warmup_div_chunks.append(np.asarray(div))
         window_moments.append(moments)
         pos += length
@@ -590,10 +603,9 @@ def _run_chains_pooled(
     )
     compiled_sample = {}
     pos = 0
-    for length in _chunk_lengths(n_keep, chunk_size):
-        if length not in compiled_sample:
-            compiled_sample[length] = make_compiled_sample(length)
-        scarry, (qs, lps, stats) = compiled_sample[length](scarry, metric)
+
+    def _materialize(outs):
+        qs, lps, stats = outs
         sample_chunks.append(np.asarray(qs))
         lp_chunks.append(np.asarray(lps))
         acc_chunks.append(np.asarray(stats.accept_prob))
@@ -601,10 +613,36 @@ def _run_chains_pooled(
         depth_chunks.append(np.asarray(stats.tree_depth))
         div_chunks.append(np.asarray(stats.diverging))
         e_chunks.append(np.asarray(stats.energy))
+
+    # Transfer/compute overlap: chunk k's outputs are materialized only
+    # after chunk k+1 has been DISPATCHED (JAX dispatch is async), so the
+    # ~1.5 s/chunk device->host copy of the (C, L, dim) positions rides
+    # under the next chunk's ~6 s device execution instead of serializing
+    # with it (measured split: MAGI_PROFILE_CHUNKS=1). Checkpointing
+    # snapshots the post-chunk carry, which forces materialization.
+    pending = None
+    for length in _chunk_lengths(n_keep, chunk_size):
+        if length not in compiled_sample:
+            compiled_sample[length] = make_compiled_sample(length)
+        t_call = time.time()
+        scarry, outs = compiled_sample[length](scarry, metric)
+        if profile_chunks:
+            jax.block_until_ready(scarry)
+            t_dev = time.time()
+        if pending is not None:
+            _materialize(pending)
+        pending = outs
+        if profile_chunks:
+            logger.warning(
+                "sample chunk %d: device %.2fs, prev-chunk transfer %.2fs",
+                pos, t_dev - t_call, time.time() - t_dev,
+            )
         pos += length
         if checkpoint_path:
             from ..inference.checkpoint import SamplerCheckpoint, save_checkpoint
 
+            _materialize(pending)
+            pending = None
             save_checkpoint(
                 checkpoint_path,
                 SamplerCheckpoint(
@@ -620,6 +658,8 @@ def _run_chains_pooled(
             logger.info(
                 "sampling %d/%d (%.1fs)", pos, n_keep, time.time() - t0
             )
+    if pending is not None:
+        _materialize(pending)
 
     cat = lambda parts: (
         np.concatenate(parts, axis=1)
