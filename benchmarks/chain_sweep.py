@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--chains", default="16,32,64")
     ap.add_argument("--seeds", default="42,123")
     ap.add_argument("--out", default="benchmarks/chain_sweep.jsonl")
+    ap.add_argument(
+        "--step_jitter", type=float, default=bench.STEP_JITTER,
+        help="post-warmup shared step-size jitter probability "
+             "(0 = off; see parallel/chains.py)",
+    )
     args = ap.parse_args()
 
     _, _, host = bench.build_workload()
@@ -43,13 +48,17 @@ def main():
         for seed in [int(s) for s in args.seeds.split(",")]:
             log(f"=== n_chains={c}, seed={seed} ===")
             try:
-                out = bench.bench_production(host, seed=seed, n_chains=c)
+                out = bench.bench_production(
+                    host, seed=seed, n_chains=c,
+                    step_jitter=args.step_jitter,
+                )
                 out = {k: v for k, v in out.items()
                        if k not in ("theta_mean", "sigma_mean")}
             except Exception as e:
                 out = {"error": f"{type(e).__name__}: {e}"}
             out["n_chains"] = c
             out["seed"] = seed
+            out["step_jitter"] = args.step_jitter
             log(json.dumps(out))
             with open(args.out, "a") as f:
                 f.write(json.dumps(out) + "\n")

@@ -147,6 +147,21 @@ class MagiConfig:
     # Gaussian dispersion of chains 1..C-1 around Psi_0 (chain 0 starts
     # exactly at Psi_0). Overdispersed starts make split-R-hat meaningful.
     chain_init_jitter: float = 0.0
+    # Post-warmup step-size jitter (sampler='nuts' with
+    # mass_matrix='dense-pooled'): with this probability per iteration the
+    # shared frozen step size is scaled by a log-uniform multiplier in
+    # [step_jitter_low, 1] for that single iteration — drawn host-side
+    # before sampling, so the transition kernel stays exactly
+    # target-invariant (Stan-style stepsize_jitter, downward-only).
+    # Rescue mechanism for localized sharp-curvature pockets that the
+    # global whitener/metric cannot flatten (the FN theta_b~0.48 pocket:
+    # a chain entering it at the bulk-adapted eps diverges ~64% of
+    # iterations and freezes; a jittered small-eps iteration lets it step
+    # out). Costs ~p*((1/low-1)/ln(1/low)-1) extra leapfrogs (~8% at
+    # 0.125/0.4). 0 = off (reference parity — the reference has no
+    # equivalent; AdvancedHMC would assert on the pocket's -Inf instead).
+    step_jitter: float = 0.0
+    step_jitter_low: float = 0.4
     # When set, wraps sampling in jax.profiler.trace writing to this dir.
     profile_dir: Optional[str] = None
     # When set, a sampler checkpoint (.npz) is written after every sampling

@@ -92,6 +92,9 @@ def run_chains_resumed(
     metric (Stan's post-warmup semantics). Handles both the per-chain
     diagonal metric and the shared dense-pooled metric (meta
     {"metric": "dense-pooled"}, inv_mass saved as the (dim, dim) M^-1).
+    Step-size jitter settings recorded in the checkpoint meta
+    (parallel/chains.py ``step_jitter``) are honored, so a resumed run
+    keeps the pocket-rescue behavior of the original.
     Returns (samples (C, S, dim), info, new_checkpoint)."""
     from .nuts import ChainState, DenseMetric
     from .nuts_batched import nuts_transition_batched
@@ -117,15 +120,27 @@ def run_chains_resumed(
     keys = jnp.asarray(ckpt.key)
     vg_b = jax.vmap(vg)
 
-    def run(psi, keys):
+    # Step-jitter continuation: multipliers from the same keys-seeded
+    # host RNG construction as _run_chains_pooled (a fresh deterministic
+    # stream for the resumed segment).
+    sj = float((ckpt.meta or {}).get("step_jitter", 0.0) or 0.0)
+    sj_low = float((ckpt.meta or {}).get("step_jitter_low", 0.4) or 0.4)
+    from ..parallel.chains import jitter_multipliers
+
+    jit_rng = np.random.default_rng(
+        np.asarray(ckpt.key).astype(np.uint64).ravel()
+    )
+    mults = jitter_multipliers(jit_rng, n_samples, sj, sj_low, dtype)
+
+    def run(psi, keys, mults):
         logp0, grad0 = vg_b(psi)
 
-        def step(chain, _):
+        def step(chain, eps_mult):
             ks = jax.vmap(lambda k: jax.random.split(k))(chain.key)
             key, k_step = ks[:, 0], ks[:, 1]
             q, logp, grad, stats = nuts_transition_batched(
-                vg_b, chain.q, chain.logp, chain.grad, k_step, eps,
-                inv_mass, max_depth=max_depth,
+                vg_b, chain.q, chain.logp, chain.grad, k_step,
+                eps * eps_mult, inv_mass, max_depth=max_depth,
             )
             return (
                 ChainState(q=q, logp=logp, grad=grad, key=key),
@@ -134,7 +149,7 @@ def run_chains_resumed(
 
         final, (qs, lps, stats) = jax.lax.scan(
             step, ChainState(q=psi, logp=logp0, grad=grad0, key=keys),
-            None, length=n_samples,
+            mults, length=n_samples,
         )
         # scan emits (S, C, ...); downstream expects chains leading
         qs = jnp.swapaxes(qs, 0, 1)
@@ -144,7 +159,7 @@ def run_chains_resumed(
         )
         return qs, lps, stats, final.q, final.key
 
-    qs, lps, stats, final_q, final_key = jax.jit(run)(psi, keys)
+    qs, lps, stats, final_q, final_key = jax.jit(run)(psi, keys, mults)
     info = {
         "lp": lps,
         "accept_prob": stats.accept_prob,

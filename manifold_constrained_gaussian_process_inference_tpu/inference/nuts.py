@@ -574,13 +574,19 @@ def make_warmup_step_pooled(vg, target_accept: float, max_depth: int):
 
 
 def make_sample_step_pooled(vg, max_depth: int):
-    """Post-warmup scan body under a shared dense metric (traced arg)."""
+    """Post-warmup scan body under a shared dense metric (traced arg).
 
-    def sample_step(carry: SampleCarry, _, metric: DenseMetric):
+    The scan ``xs`` slot optionally carries a per-iteration step-size
+    multiplier (scalar, shared across chains — see
+    parallel/chains.py ``step_jitter``); ``xs=None`` keeps the frozen
+    ``carry.eps`` exactly."""
+
+    def sample_step(carry: SampleCarry, eps_mult, metric: DenseMetric):
         chain = carry.chain
         key, k_step = jax.random.split(chain.key)
+        eps = carry.eps if eps_mult is None else carry.eps * eps_mult
         q, logp, grad, stats = nuts_transition(
-            vg, chain.q, chain.logp, chain.grad, k_step, carry.eps,
+            vg, chain.q, chain.logp, chain.grad, k_step, eps,
             metric, max_depth=max_depth,
         )
         new = SampleCarry(

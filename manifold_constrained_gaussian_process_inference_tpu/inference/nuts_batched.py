@@ -525,14 +525,24 @@ def make_warmup_step_pooled_batched(
 
 
 def make_sample_step_pooled_batched(vg_b, max_depth: int):
-    """Post-warmup scan body under a shared dense metric (traced arg)."""
+    """Post-warmup scan body under a shared dense metric (traced arg).
 
-    def sample_step(carry: SampleCarry, _, metric: DenseMetric):
+    The scan ``xs`` slot optionally carries a per-iteration step-size
+    multiplier (scalar, shared across chains — see
+    parallel/chains.py ``step_jitter``); ``xs=None`` keeps the frozen
+    ``carry.eps`` exactly. The multiplier is deliberately SHARED: the
+    lockstep tree loop runs until every chain is done, so an
+    independent per-chain draw would put a small-eps (deep-tree) chain
+    in nearly every batched iteration and the whole batch would pay the
+    deep-tree cost each time."""
+
+    def sample_step(carry: SampleCarry, eps_mult, metric: DenseMetric):
         chain = carry.chain
         ks = jax.vmap(lambda k: jax.random.split(k))(chain.key)
         key, k_step = ks[:, 0], ks[:, 1]
+        eps = carry.eps if eps_mult is None else carry.eps * eps_mult
         q, logp, grad, stats = nuts_transition_batched(
-            vg_b, chain.q, chain.logp, chain.grad, k_step, carry.eps,
+            vg_b, chain.q, chain.logp, chain.grad, k_step, eps,
             metric, max_depth=max_depth,
         )
         new = SampleCarry(

@@ -784,6 +784,8 @@ def solve_magi(
                 progress=config.verbose,
                 checkpoint_path=config.checkpoint_path,
                 mass_matrix=config.mass_matrix,
+                step_jitter=config.step_jitter,
+                step_jitter_low=config.step_jitter_low,
             )
         else:
             raise MagiError(f"unknown sampler '{config.sampler}'")

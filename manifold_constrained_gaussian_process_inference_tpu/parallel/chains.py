@@ -221,6 +221,8 @@ def run_chains(
     checkpoint_path: Optional[str] = None,
     mass_matrix: str = "diag",
     batched_transition: bool = True,
+    step_jitter: float = 0.0,
+    step_jitter_low: float = 0.4,
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
     (samples (C, S, dim) numpy, info dict with a leading chain axis).
@@ -243,15 +245,38 @@ def run_chains(
     boundary — the chain batch acts as the estimator (a TPU-native
     extension: C chains x window draws give a usable dim x dim estimate no
     single chain could learn; the metric enters the compiled programs as a
-    traced argument, so the host-side updates never retrace)."""
+    traced argument, so the host-side updates never retrace).
+
+    ``step_jitter`` (dense-pooled only): with this probability per
+    POST-WARMUP iteration, the shared frozen step size is scaled by a
+    log-uniform multiplier in [``step_jitter_low``, 1] for that one
+    iteration. The multiplier sequence is drawn on the host before any
+    state is seen (deterministically from ``keys``), so every
+    transition still leaves the target invariant — Stan-style step-size
+    jitter, biased downward only. Purpose: a chain stuck in a localized
+    sharp-curvature pocket (FN theta_b~0.48, measured P(divergence)=0.64
+    in-pocket at the bulk-adapted eps — docs/BENCHMARKS.md) escapes at
+    the next small-eps iteration instead of freezing for hundreds of
+    divergent rejections. The multiplier is SHARED across chains: the
+    lockstep tree loop is gated by its deepest chain, so per-chain
+    draws would make every batched iteration pay the small-eps
+    deep-tree cost, while a shared draw pays it only on the jittered
+    fraction (expected extra leapfrogs ~ 1 + p*((1/low-1)/log(1/low)-1)
+    ~ 8% at p=1/8, low=0.4)."""
     if mass_matrix == "dense-pooled":
         return _run_chains_pooled(
             vg, psi0, keys, n_samples, n_adapts, initial_step_size,
             target_accept, max_depth, mesh, chunk_size, progress,
             checkpoint_path, batched_transition,
+            step_jitter, step_jitter_low,
         )
     if mass_matrix != "diag":
         raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
+    if step_jitter:
+        raise ValueError(
+            "step_jitter is implemented for mass_matrix='dense-pooled' "
+            "(the production path); the diag path keeps Stan parity."
+        )
     n_chains, dim = psi0.shape
     n_keep = n_samples - n_adapts
     dtype = psi0.dtype
@@ -375,10 +400,24 @@ def run_chains(
     return samples, info
 
 
+def jitter_multipliers(rng, length, prob, low, dtype):
+    """Per-iteration shared step-size multipliers for ``step_jitter``:
+    1.0 with probability 1-prob, else log-uniform in [low, 1]. ``rng``
+    is a host Generator — the sequence is fixed before sampling starts,
+    which is what makes jittered NUTS a valid (inhomogeneous) Markov
+    chain: eps_t never depends on the current state."""
+    m = np.ones(length, dtype=np.float64)
+    if prob > 0.0:
+        hit = rng.random(length) < prob
+        m[hit] = np.exp(np.log(low) * rng.random(int(hit.sum())))
+    return jnp.asarray(m, dtype)
+
+
 def _run_chains_pooled(
     vg, psi0, keys, n_samples, n_adapts, initial_step_size,
     target_accept, max_depth, mesh, chunk_size, progress, checkpoint_path,
     batched_transition=True,
+    step_jitter=0.0, step_jitter_low=0.4,
 ):
     """run_chains with the cross-chain pooled dense metric (see run_chains
     docstring). Warmup chunks are aligned to adaptation-window boundaries;
@@ -390,10 +429,11 @@ def _run_chains_pooled(
     dtype = psi0.dtype
     vg_b = jax.vmap(vg) if batched_transition else None
 
-    def wrap(f, n_mapped):
-        """vmap over chains for the first n_mapped args; remaining args
-        (the shared metric) are broadcast; then (optionally) shard."""
-        in_axes = tuple([0] * n_mapped + [None])
+    def wrap(f, n_mapped, n_shared=1):
+        """vmap over chains for the first n_mapped args; the n_shared
+        trailing args (metric, jitter multipliers) are broadcast; then
+        (optionally) shard."""
+        in_axes = tuple([0] * n_mapped + [None] * n_shared)
         batched = jax.vmap(f, in_axes=in_axes)
         if mesh is None:
             return jax.jit(batched)
@@ -403,7 +443,7 @@ def _run_chains_pooled(
             raise ValueError(
                 f"n_chains={n_chains} must be a multiple of mesh size {n_dev}"
             )
-        in_specs = tuple([P(axis_name)] * n_mapped + [P()])
+        in_specs = tuple([P(axis_name)] * n_mapped + [P()] * n_shared)
         return jax.jit(
             jax.shard_map(
                 batched, mesh=mesh, in_specs=in_specs,
@@ -560,9 +600,9 @@ def _run_chains_pooled(
     if batched_transition:
         sample_step_b = make_sample_step_pooled_batched(vg_b, max_depth)
 
-        def sample_chunk_b(scarry, m, length):
+        def sample_chunk_b(scarry, mults, m, length):
             scarry, (qs, lps, stats) = jax.lax.scan(
-                lambda c, x: sample_step_b(c, x, m), scarry, None,
+                lambda c, x: sample_step_b(c, x, m), scarry, mults,
                 length=length,
             )
             # scan emits (L, C, ...); downstream expects chains leading
@@ -577,7 +617,7 @@ def _run_chains_pooled(
             if mesh is None:
                 return jax.jit(f)
             return jax.jit(jax.shard_map(
-                f, mesh=mesh, in_specs=(P(CHAIN_AXIS), P()),
+                f, mesh=mesh, in_specs=(P(CHAIN_AXIS), P(), P()),
                 out_specs=P(CHAIN_AXIS), check_vma=False,
             ))
 
@@ -586,16 +626,24 @@ def _run_chains_pooled(
     else:
         sample_step = make_sample_step_pooled(vg, max_depth)
 
-        def sample_chunk(carry, m, length):
+        def sample_chunk(carry, mults, m, length):
             return jax.lax.scan(
-                lambda c, x: sample_step(c, x, m), carry, None, length=length
+                lambda c, x: sample_step(c, x, m), carry, mults,
+                length=length,
             )
 
         def make_compiled_sample(length):
-            return wrap(partial(sample_chunk, length=length), 1)
+            # chains mapped; the multiplier sequence and metric shared
+            return wrap(partial(sample_chunk, length=length), 1, n_shared=2)
 
     scarry = SampleCarry(
         chain=carry.chain, eps=eps_final, inv_mass=carry.inv_mass
+    )
+    # Host RNG for the step-jitter multiplier sequence: seeded from the
+    # chain PRNG keys, so the full run (and a same-keys rerun) is
+    # deterministic without a new seed parameter.
+    jit_rng = np.random.default_rng(
+        np.asarray(jax.device_get(keys)).astype(np.uint64).ravel()
     )
     sample_chunks = []
     lp_chunks, acc_chunks, leap_chunks, depth_chunks, div_chunks, e_chunks = (
@@ -624,8 +672,11 @@ def _run_chains_pooled(
     for length in _chunk_lengths(n_keep, chunk_size):
         if length not in compiled_sample:
             compiled_sample[length] = make_compiled_sample(length)
+        mults = jitter_multipliers(
+            jit_rng, length, step_jitter, step_jitter_low, dtype
+        )
         t_call = time.time()
-        scarry, outs = compiled_sample[length](scarry, metric)
+        scarry, outs = compiled_sample[length](scarry, mults, metric)
         if profile_chunks:
             jax.block_until_ready(scarry)
             t_dev = time.time()
@@ -651,7 +702,11 @@ def _run_chains_pooled(
                     inv_mass=np.asarray(metric.minv),
                     key=np.asarray(scarry.chain.key),
                     n_samples_drawn=n_chains * pos,
-                    meta={"metric": "dense-pooled"},
+                    meta={
+                        "metric": "dense-pooled",
+                        "step_jitter": float(step_jitter),
+                        "step_jitter_low": float(step_jitter_low),
+                    },
                 ),
             )
         if progress:
@@ -676,6 +731,7 @@ def _run_chains_pooled(
         "step_size": np.asarray(eps_final),
         "inv_mass": np.asarray(metric.minv),
         "metric": "dense-pooled",
+        "step_jitter": (float(step_jitter), float(step_jitter_low)),
         "warmup_diverging": cat(warmup_div_chunks),
         "final_psi": np.asarray(scarry.chain.q),
         "final_key": np.asarray(scarry.chain.key),
