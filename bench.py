@@ -42,6 +42,31 @@ import time
 
 import numpy as np
 
+# The driver records this process's stderr tail as the benchmark artifact;
+# drop the per-program-load relay-AOT tuning-flag mismatch noise (each
+# line individually VERIFIED benign before suppression — see
+# utils/stderr_filter.py; VERDICT r4 item 4). Loaded by file path so
+# bench keeps its deliberate lazy-jax layering (the package __init__
+# imports jax; jax must stay unimported until wait_for_backend's
+# subprocess probe has cleared the relay).
+
+
+def _install_stderr_filter():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "manifold_constrained_gaussian_process_inference_tpu",
+        "utils", "stderr_filter.py",
+    )
+    spec = importlib.util.spec_from_file_location("_magi_stderr_filter", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.install_benign_aot_filter()
+
+
+_install_stderr_filter()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -171,6 +196,12 @@ PRODUCTION_SEEDS = (42, 7, 123)
 # divergence pocket grow (seed 123 @128: 1376 divergences, ESS/s 15).
 N_CHAINS = 64
 
+# Production step-size jitter (p, applied via bench_production): see the
+# MagiConfig comment in bench_production. Default decided by same-day A/B
+# on the 128-chain pocket reproducer + production seeds (docs/BENCHMARKS.md
+# round-5 pocket section).
+STEP_JITTER = 0.125
+
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     import jax.numpy as jnp
@@ -249,7 +280,8 @@ def bench_device_grad(target, psi0, n_evals=3000):
     return n_evals / dt
 
 
-def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS):
+def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
+                     step_jitter=STEP_JITTER):
     """The production stack on the reference protocol, through the public
     API: solve_magi with NLML init -> staged Gauss-Newton MAP -> Laplace
     whitening -> pooled-dense-metric multi-chain NUTS. Reports min-theta
@@ -298,6 +330,15 @@ def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS):
         # 26.8 ESS/s (0.95) — 36x, and wall time DROPPED (divergent
         # rebuilds cost more than the extra leapfrogs).
         target_accept_ratio=0.95,
+        # Pocket insurance: 0.95 resolves the theta_b~0.48 pocket MOSTLY,
+        # but a chain that still wanders in freezes on divergent
+        # rejections (128-chain sweep seed 123: one chain, 1376
+        # divergences, min ESS 26.6k -> 8.9k). A downward-only jittered
+        # step on a shared ~1/8 of iterations gives every stuck chain a
+        # periodic escape hatch at ~8% extra leapfrogs
+        # (parallel/chains.py step_jitter; validated on that reproducer —
+        # docs/BENCHMARKS.md).
+        step_jitter=step_jitter,
         seed=seed,
         # Full-precision contractions lengthen each device call ~3x; the
         # remote worker crashes on multi-minute single executions — bound
