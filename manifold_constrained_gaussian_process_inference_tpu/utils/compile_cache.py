@@ -116,10 +116,11 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         pkg_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        # Key the default dir by the requested platform (and, for
-        # CPU-executing platforms, the host microarch): relay-compiled
-        # executables embed the COMPILE machine's CPU features, and
-        # loading them in a local-CPU process trips XLA's machine-type
+        # Key the default dir by the requested platform AND the host
+        # microarch (v2: every dir, accelerator ones included — see
+        # _default_dir_key): relay-compiled executables embed the COMPILE
+        # machine's CPU features in their host-side components, and
+        # loading them on a different host trips XLA's machine-type
         # check (cpu_aot_loader: "could lead to ... SIGILL").
         path = os.path.join(
             pkg_root, ".jax_cache", _default_dir_key(_platform())
