@@ -18,6 +18,9 @@ Configs (BASELINE.json "configs"):
                       occupancy + basin-conditional recovery reported)
   7 fn_chees          config-1 geometry with sampler='chees' (ChEES/SNAPER
                       validation vs the NUTS row; not a BASELINE config)
+  8 fn_scale_stress   FN filllevel-4 grid (n=1585; auto band-impl policy
+                      stress past the dense-fit comfort zone; not a
+                      BASELINE config — SURVEY §5.7 long-grid scaling)
 
 Each run emits one JSON line: recovery (theta RMSE vs truth), min-theta
 ESS, max split-R-hat, wall time, ESS/sec, plus per-config extras.
@@ -216,6 +219,19 @@ def run_config(idx: int, seed: int) -> dict:
         cfg = MagiConfig(
             niter_hmc=8000, step_size_factor=0.05, seed=seed,
             sampler="pt-nuts", pt_temps=10, x_whitened=True,
+            # Production knobs (round-5; VERDICT r4 item 3). r4 ran this
+            # config at the 0.8 default + diag metric + 1 replica and it
+            # mixed 5-50x worse than every other config (min ESS 193-568,
+            # 164-253 divergences on two seeds, one rung's step size
+            # collapsed to 0.00155):
+            # - 0.95 resolves divergence flooding exactly as on FN (the
+            #   adapted eps at 0.8 under-resolves the cold rung);
+            # - 4 replicas = 4 independent cold chains (ESS sums) and a
+            #   4x-better-conditioned pooled metric per rung;
+            # - the pooled dense metric captures the theta/X curvature
+            #   cross-terms the diag metric crawls along.
+            target_accept_ratio=0.95,
+            pt_replicas=4, mass_matrix="dense-pooled",
             phi=np.array([[2.0, 1.5, 12.0], [55.0, 55.0, 55.0]]),
             sigma=np.array([NOISE_SD] * 3),
             map_init_iterations=3000, map_init_lr=0.02,
@@ -254,6 +270,33 @@ def run_config(idx: int, seed: int) -> dict:
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
         out["n_grid"] = len(data["t_grid"])
+        sig = res.sigma.mean(axis=0)
+        out["sigma_mean"] = [round(float(x), 4) for x in sig]
+    elif idx == 8:
+        # Scale stress (round-5; VERDICT r4 item 7): filllevel-4 grid ->
+        # n = 1585, past the regime every other config exercises. The
+        # point is to run the auto band-impl policy where its branches
+        # actually matter and record WHICH impl it picked (diagnostics
+        # band_impl) alongside recovery + mixing. At n=1585 the (D,n,n)
+        # dense stacks are ~120 MB and each batched grad eval carries 4x
+        # config-4's matmul flops: chains drop to 16 and chunk_size to 25
+        # to keep single device calls under the remote worker's crash
+        # threshold (config-4 note: it died 3x at chunk 250 for n=793).
+        data = fn_data(seed, fill=4)  # n = 1585
+        cfg = MagiConfig(
+            niter_hmc=2000, step_size_factor=0.06, seed=seed,
+            target_accept_ratio=0.95,
+            prior_temperature=(1.0, 1.0, 1.0),
+            sampler="nuts", n_chains=16, x_whitened=True,
+            theta_constrained=True, chain_init_jitter=0.05,
+            mass_matrix="dense-pooled",
+            chunk_size=25,
+        )
+        res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
+        out = theta_metrics(res, FN_THETA_TRUE)
+        out["n_grid"] = len(data["t_grid"])
+        out["band_impl"] = res.diagnostics.get("band_impl")
+        out["bandsize"] = res.diagnostics.get("bandsize")
         sig = res.sigma.mean(axis=0)
         out["sigma_mean"] = [round(float(x), 4) for x in sig]
     elif idx == 5:

@@ -25,7 +25,20 @@ import numpy as np
 
 @dataclasses.dataclass
 class SamplerCheckpoint:
-    """Everything needed to continue sampling (post-warmup)."""
+    """Everything needed to continue a run.
+
+    ``phase`` is "sampling" (default; warmup finished — ``step_size`` /
+    ``inv_mass`` are the frozen adapted values, Stan's post-warmup
+    semantics) or "warmup" (the run died DURING warmup — relevant on this
+    relay, which drops mid-run regularly). A warmup-phase checkpoint
+    carries the full adaptation state in ``warmup``: the WarmupCarry
+    pytree leaves (positions, dual-averaging state, Welford state, PRNG
+    keys — saved/restored via tree_unflatten so the NamedTuple layout
+    stays private to nuts.py), the warmup iteration index, the pooled
+    metric components, and the partially-accumulated window moments.
+    Resuming replays the deterministic window-aligned chunk schedule from
+    that index: the continued run is bit-identical to an uninterrupted
+    one (tests/test_checkpoint.py::test_warmup_resume_equality)."""
 
     psi: np.ndarray        # (C, dim) final positions
     step_size: np.ndarray  # (C,) adapted step sizes
@@ -33,6 +46,8 @@ class SamplerCheckpoint:
     key: np.ndarray        # (C, 2) uint32 PRNG keys
     n_samples_drawn: int = 0
     meta: Optional[Dict] = None
+    phase: str = "sampling"
+    warmup: Optional[Dict] = None
 
 
 def checkpoint_from_result(result, samples_per_chain: Optional[np.ndarray] = None) -> SamplerCheckpoint:
@@ -55,15 +70,27 @@ def checkpoint_from_result(result, samples_per_chain: Optional[np.ndarray] = Non
 def save_checkpoint(path: str, ckpt: SamplerCheckpoint) -> None:
     import json
 
-    np.savez(
-        path,
+    arrays = dict(
         psi=ckpt.psi,
         step_size=ckpt.step_size,
         inv_mass=ckpt.inv_mass,
         key=ckpt.key,
         n_samples_drawn=np.asarray(ckpt.n_samples_drawn),
         meta=np.asarray(json.dumps(ckpt.meta) if ckpt.meta else ""),
+        phase=np.asarray(ckpt.phase),
     )
+    if ckpt.warmup is not None:
+        w = ckpt.warmup
+        arrays["wu_pos"] = np.asarray(int(w["pos"]))
+        for i, leaf in enumerate(w["carry_leaves"]):
+            arrays[f"wu_leaf_{i:03d}"] = np.asarray(leaf)
+        for name in ("metric_minv", "metric_chol", "metric_pchol"):
+            arrays[f"wu_{name}"] = np.asarray(w[name])
+        for i, mom in enumerate(w["moments"]):
+            for j, part in enumerate(mom):
+                arrays[f"wu_mom_{i:03d}_{j}"] = np.asarray(part)
+        arrays["wu_div"] = np.asarray(w["div"])
+    np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str) -> SamplerCheckpoint:
@@ -71,6 +98,27 @@ def load_checkpoint(path: str) -> SamplerCheckpoint:
 
     with np.load(path) as z:
         meta_raw = str(z["meta"]) if "meta" in z else ""
+        phase = str(z["phase"]) if "phase" in z else "sampling"
+        warmup = None
+        if phase == "warmup":
+            leaves = [
+                z[k] for k in sorted(z.files) if k.startswith("wu_leaf_")
+            ]
+            mom_keys = sorted(k for k in z.files if k.startswith("wu_mom_"))
+            n_moms = len({k.rsplit("_", 1)[0] for k in mom_keys})
+            moments = [
+                tuple(z[f"wu_mom_{i:03d}_{j}"] for j in range(5))
+                for i in range(n_moms)
+            ]
+            warmup = {
+                "pos": int(z["wu_pos"]),
+                "carry_leaves": leaves,
+                "metric_minv": z["wu_metric_minv"],
+                "metric_chol": z["wu_metric_chol"],
+                "metric_pchol": z["wu_metric_pchol"],
+                "moments": moments,
+                "div": z["wu_div"],
+            }
         return SamplerCheckpoint(
             psi=z["psi"],
             step_size=z["step_size"],
@@ -78,6 +126,8 @@ def load_checkpoint(path: str) -> SamplerCheckpoint:
             key=z["key"].astype(np.uint32),
             n_samples_drawn=int(z["n_samples_drawn"]),
             meta=json.loads(meta_raw) if meta_raw else None,
+            phase=phase,
+            warmup=warmup,
         )
 
 
@@ -96,6 +146,12 @@ def run_chains_resumed(
     (parallel/chains.py ``step_jitter``) are honored, so a resumed run
     keeps the pocket-rescue behavior of the original.
     Returns (samples (C, S, dim), info, new_checkpoint)."""
+    if ckpt.phase == "warmup":
+        raise ValueError(
+            "this checkpoint was written mid-warmup; resume it through "
+            "solve_magi(resume=...) / run_chains(resume_ckpt=...), which "
+            "continue adaptation from the saved state."
+        )
     from .nuts import ChainState, DenseMetric
     from .nuts_batched import nuts_transition_batched
 

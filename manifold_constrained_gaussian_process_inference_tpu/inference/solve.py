@@ -283,9 +283,14 @@ def solve_magi(
     ``niter_hmc`` then counts ADDITIONAL post-warmup draws: step size,
     metric, temperature ladder, and trajectory length stay frozen at
     their checkpointed (adapted) values. The sampler axis size (chains /
-    replicas) comes from the checkpoint, not the config. The reference
-    has no checkpointing at all (SURVEY.md §5.4); its only warm start is
-    ``initial_params``.
+    replicas) comes from the checkpoint, not the config. A WARMUP-phase
+    checkpoint (the previous run died mid-warmup; written automatically
+    at every warmup chunk for the production nuts + dense-pooled path)
+    instead CONTINUES adaptation from the saved iteration — here the
+    config is interpreted exactly as in the original run (``niter_hmc``
+    is the total, not additional draws) and the result is bit-identical
+    to an uninterrupted run. The reference has no checkpointing at all
+    (SURVEY.md §5.4); its only warm start is ``initial_params``.
     """
     config = config or MagiConfig()
     t_start = time.time()
@@ -688,6 +693,23 @@ def solve_magi(
                 "must use the same data and config as the original run."
             )
 
+    # A warmup-phase checkpoint (the run died DURING warmup — see
+    # inference/checkpoint.py) resumes through the normal sampler branch:
+    # run_chains replays the window-aligned chunk schedule from the saved
+    # iteration with the saved adaptation state, bit-identical to an
+    # uninterrupted run. Only the production path (nuts + dense-pooled)
+    # supports this.
+    warmup_resume = None
+    if resume is not None and getattr(resume, "phase", "sampling") == "warmup":
+        if config.sampler != "nuts" or config.mass_matrix != "dense-pooled":
+            raise MagiError(
+                "warmup-phase checkpoints resume only for sampler='nuts' "
+                "with mass_matrix='dense-pooled' (the production path); "
+                "other samplers restart warmup."
+            )
+        warmup_resume = resume
+        resume = None
+
     t_sample = time.time()
     with profile_cm:
         if resume is not None:
@@ -786,6 +808,7 @@ def solve_magi(
                 mass_matrix=config.mass_matrix,
                 step_jitter=config.step_jitter,
                 step_jitter_low=config.step_jitter_low,
+                resume_ckpt=warmup_resume,
             )
         else:
             raise MagiError(f"unknown sampler '{config.sampler}'")
@@ -840,6 +863,8 @@ def solve_magi(
         "gradient_evals": float(np.sum(np.asarray(info["num_leapfrog"]))),
         "sigma_is_fixed": sigma_is_fixed,
         "sampler": config.sampler,
+        "band_impl": band_impl,
+        "bandsize": int(gp_cov.bandsize),
     }
     if "trajectory_length" in info:
         diagnostics["trajectory_length"] = info["trajectory_length"]

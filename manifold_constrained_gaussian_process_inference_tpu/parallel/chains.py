@@ -223,9 +223,16 @@ def run_chains(
     batched_transition: bool = True,
     step_jitter: float = 0.0,
     step_jitter_low: float = 0.4,
+    resume_ckpt=None,
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
     (samples (C, S, dim) numpy, info dict with a leading chain axis).
+
+    ``resume_ckpt``: a warmup-phase SamplerCheckpoint written by a
+    previous (killed) call with the SAME arguments — warmup continues
+    from the recorded iteration instead of restarting, bit-identical to
+    an uninterrupted run (dense-pooled only; see
+    inference/checkpoint.py).
 
     ``batched_transition`` (dense-pooled only): run the hand-batched NUTS
     transition (inference/nuts_batched.py) instead of
@@ -268,10 +275,15 @@ def run_chains(
             vg, psi0, keys, n_samples, n_adapts, initial_step_size,
             target_accept, max_depth, mesh, chunk_size, progress,
             checkpoint_path, batched_transition,
-            step_jitter, step_jitter_low,
+            step_jitter, step_jitter_low, resume_ckpt,
         )
     if mass_matrix != "diag":
         raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
+    if resume_ckpt is not None:
+        raise ValueError(
+            "warmup resume is implemented for mass_matrix='dense-pooled' "
+            "(the production path); the diag path restarts warmup."
+        )
     if step_jitter:
         raise ValueError(
             "step_jitter is implemented for mass_matrix='dense-pooled' "
@@ -400,6 +412,14 @@ def run_chains(
     return samples, info
 
 
+def cat_warmup_div(chunks, n_chains):
+    """Concatenate per-chunk (C, L) warmup divergence flags (empty-safe)."""
+    return (
+        np.concatenate(chunks, axis=1)
+        if chunks else np.zeros((n_chains, 0), dtype=bool)
+    )
+
+
 def jitter_multipliers(rng, length, prob, low, dtype):
     """Per-iteration shared step-size multipliers for ``step_jitter``:
     1.0 with probability 1-prob, else log-uniform in [low, 1]. ``rng``
@@ -418,6 +438,7 @@ def _run_chains_pooled(
     target_accept, max_depth, mesh, chunk_size, progress, checkpoint_path,
     batched_transition=True,
     step_jitter=0.0, step_jitter_low=0.4,
+    resume_ckpt=None,
 ):
     """run_chains with the cross-chain pooled dense metric (see run_chains
     docstring). Warmup chunks are aligned to adaptation-window boundaries;
@@ -554,13 +575,52 @@ def _run_chains_pooled(
     warmup_div_chunks = []
     window_moments = []
     pos = 0
+    resume_pos = 0
+    if resume_ckpt is not None:
+        # Restore the full adaptation state a killed warmup left behind
+        # (inference/checkpoint.py SamplerCheckpoint phase="warmup").
+        # The carry pytree round-trips via tree_unflatten onto the
+        # freshly-initialized carry's structure, so the WarmupCarry /
+        # DualAveraging / Welford layouts stay private to nuts.py.
+        if getattr(resume_ckpt, "phase", "sampling") != "warmup":
+            raise ValueError(
+                "resume_ckpt must be a warmup-phase checkpoint; "
+                "post-warmup checkpoints resume via run_chains_resumed."
+            )
+        w = resume_ckpt.warmup
+        treedef = jax.tree_util.tree_structure(carry)
+        carry = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(leaf) for leaf in w["carry_leaves"]]
+        )
+        metric = DenseMetric(
+            minv=jnp.asarray(w["metric_minv"]),
+            chol_minv=jnp.asarray(w["metric_chol"]),
+            p_chol=jnp.asarray(w["metric_pchol"]),
+        )
+        resume_pos = int(w["pos"])
+        window_moments = [
+            tuple(np.asarray(p) for p in m) for m in w["moments"]
+        ]
+        div0 = np.asarray(w["div"])
+        if div0.size:
+            warmup_div_chunks.append(div0)
     t0 = time.time()
     chunks = _window_aligned_chunks(window_end, chunk_size)
+    if resume_pos and resume_pos not in np.cumsum(chunks):
+        raise ValueError(
+            f"warmup checkpoint position {resume_pos} does not align with "
+            f"the chunk schedule for n_adapts={n_adapts}, "
+            f"chunk_size={chunk_size} — the resumed call must use the same "
+            "arguments as the original run."
+        )
     compiled_warmup = {}
     import os as _os
 
     profile_chunks = _os.environ.get("MAGI_PROFILE_CHUNKS", "") == "1"
     for length in chunks:
+        if pos + length <= resume_pos:
+            pos += length  # already done by the checkpointed run
+            continue
         if batched_transition:
             iw = jnp.asarray(in_window[pos : pos + length])
             we = jnp.asarray(window_end[pos : pos + length])
@@ -589,6 +649,47 @@ def _run_chains_pooled(
                 window_moments, dim, dtype, metric
             )
             window_moments = []
+        if checkpoint_path:
+            # Warmup-phase checkpoint: a killed warmup resumes from here
+            # instead of restarting (written post-metric-update so the
+            # saved metric/moments reflect the boundary state).
+            from ..inference.checkpoint import (
+                SamplerCheckpoint, save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_path,
+                SamplerCheckpoint(
+                    psi=np.asarray(carry.chain.q),
+                    step_size=np.zeros(0),
+                    inv_mass=np.asarray(metric.minv),
+                    key=np.asarray(carry.chain.key),
+                    n_samples_drawn=0,
+                    meta={
+                        "metric": "dense-pooled",
+                        "step_jitter": float(step_jitter),
+                        "step_jitter_low": float(step_jitter_low),
+                        "n_adapts": int(n_adapts),
+                        "chunk_size": int(chunk_size),
+                    },
+                    phase="warmup",
+                    warmup={
+                        "pos": pos,
+                        "carry_leaves": [
+                            np.asarray(leaf)
+                            for leaf in jax.tree_util.tree_leaves(carry)
+                        ],
+                        "metric_minv": np.asarray(metric.minv),
+                        "metric_chol": np.asarray(metric.chol_minv),
+                        "metric_pchol": np.asarray(metric.p_chol),
+                        "moments": [
+                            tuple(np.asarray(p) for p in m)
+                            for m in window_moments
+                        ],
+                        "div": cat_warmup_div(warmup_div_chunks, n_chains),
+                    },
+                ),
+            )
         if progress:
             logger.info(
                 "warmup %d/%d (%.1fs, pooled dense metric)",

@@ -293,6 +293,132 @@ def test_solve_magi_resume_dimension_mismatch(tmp_path):
         m.solve_magi(y, t, FN_SYSTEM, cfg, resume=bad)
 
 
+def test_warmup_resume_equality(tmp_path, monkeypatch):
+    """A run killed MID-WARMUP resumes from its warmup-phase checkpoint and
+    produces BITWISE-identical post-warmup draws to the uninterrupted run
+    (VERDICT r4 item 8). The mid-warmup snapshot is captured by
+    intercepting the per-chunk checkpoint writes; the 'killed' run is then
+    simulated by resuming run_chains from that snapshot."""
+    import manifold_constrained_gaussian_process_inference_tpu.parallel.chains as chains_mod
+    from manifold_constrained_gaussian_process_inference_tpu.inference import (
+        checkpoint as ck_mod,
+    )
+
+    rng = np.random.default_rng(1)
+    a = np.array([[1.0, 0.8], [0.8, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(a))
+    vg = jax.value_and_grad(lambda q: -0.5 * q @ prec @ q)
+    n_chains = 4
+    psi0 = jnp.asarray(rng.normal(size=(n_chains, 2)) * 0.1)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_chains)
+    kwargs = dict(
+        n_samples=260, n_adapts=200, mass_matrix="dense-pooled",
+        chunk_size=50, step_jitter=0.25,
+    )
+
+    # Uninterrupted run; snapshot the FIRST mid-warmup checkpoint write.
+    snap_path = str(tmp_path / "midwarm.npz")
+    real_save = ck_mod.save_checkpoint
+    captured = {}
+
+    def capture(path, ck):
+        if ck.phase == "warmup" and "pos" not in captured:
+            mid = 0 < int(ck.warmup["pos"]) < kwargs["n_adapts"]
+            if mid:
+                captured["pos"] = int(ck.warmup["pos"])
+                real_save(snap_path, ck)
+        real_save(path, ck)
+
+    monkeypatch.setattr(chains_mod, "save_checkpoint", capture, raising=False)
+    # save_checkpoint is imported inside the loop from inference.checkpoint
+    monkeypatch.setattr(ck_mod, "save_checkpoint", capture)
+    full_path = str(tmp_path / "full.npz")
+    s_full, info_full = run_chains(
+        vg, psi0, keys, checkpoint_path=full_path, **kwargs
+    )
+    assert "pos" in captured and 0 < captured["pos"] < 200
+
+    # Resume from the mid-warmup snapshot with the same arguments.
+    monkeypatch.setattr(ck_mod, "save_checkpoint", real_save)
+    ck = load_checkpoint(snap_path)
+    assert ck.phase == "warmup"
+    assert ck.meta["step_jitter"] == 0.25
+    s_res, info_res = run_chains(
+        vg, psi0, keys, resume_ckpt=ck, **kwargs
+    )
+    # Bitwise equality: same chunk schedule, same compiled programs, same
+    # restored adaptation state, same host-side jitter stream.
+    assert np.array_equal(np.asarray(s_full), np.asarray(s_res))
+    assert np.array_equal(
+        np.asarray(info_full["step_size"]), np.asarray(info_res["step_size"])
+    )
+    assert np.array_equal(
+        np.asarray(info_full["inv_mass"]), np.asarray(info_res["inv_mass"])
+    )
+    assert np.array_equal(
+        np.asarray(info_full["warmup_diverging"]),
+        np.asarray(info_res["warmup_diverging"]),
+    )
+    assert np.array_equal(
+        np.asarray(info_full["lp"]), np.asarray(info_res["lp"])
+    )
+
+    # A warmup-phase checkpoint is rejected by the post-warmup resume path.
+    with pytest.raises(ValueError, match="mid-warmup"):
+        run_chains_resumed(vg, ck, n_samples=10)
+
+
+def test_warmup_resume_through_solve_magi(tmp_path, monkeypatch):
+    """solve_magi(resume=<warmup-phase ckpt>) re-derives the deterministic
+    setup and continues warmup: final draws match the uninterrupted
+    solve_magi run bitwise (same compiled programs, same seed-derived
+    keys/jitter stream)."""
+    import manifold_constrained_gaussian_process_inference_tpu as m
+    from manifold_constrained_gaussian_process_inference_tpu.config import (
+        MagiConfig,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.inference import (
+        checkpoint as ck_mod,
+    )
+    from manifold_constrained_gaussian_process_inference_tpu.models import (
+        FN_SYSTEM,
+    )
+
+    y, t = _fn_problem()
+    path = str(tmp_path / "solve_wu.npz")
+    cfg = MagiConfig(
+        niter_hmc=60, burnin_ratio=0.5, seed=11, n_chains=2,
+        chain_init_jitter=0.1, mass_matrix="dense-pooled",
+        chunk_size=10, checkpoint_path=path, step_jitter=0.25,
+        sigma=[0.2, 0.2], phi=np.array([[1.0, 1.0], [1.5, 1.5]]),
+    )
+    snap_path = str(tmp_path / "solve_wu_mid.npz")
+    real_save = ck_mod.save_checkpoint
+    captured = {}
+
+    def capture(p, ck):
+        if ck.phase == "warmup" and "pos" not in captured:
+            if 0 < int(ck.warmup["pos"]) < 30:
+                captured["pos"] = int(ck.warmup["pos"])
+                real_save(snap_path, ck)
+        real_save(p, ck)
+
+    monkeypatch.setattr(ck_mod, "save_checkpoint", capture)
+    res_full = m.solve_magi(y, t, FN_SYSTEM, cfg)
+    monkeypatch.setattr(ck_mod, "save_checkpoint", real_save)
+    assert "pos" in captured
+
+    res_resumed = m.solve_magi(y, t, FN_SYSTEM, cfg, resume=snap_path)
+    assert np.array_equal(
+        res_full.diagnostics["theta_per_chain"],
+        res_resumed.diagnostics["theta_per_chain"],
+    )
+    assert np.array_equal(
+        res_full.diagnostics["lp_per_chain"],
+        res_resumed.diagnostics["lp_per_chain"],
+    )
+
+
 def test_nan_guard_passthrough():
     from manifold_constrained_gaussian_process_inference_tpu.utils.debugging import (
         nan_guard,
@@ -320,7 +446,10 @@ def test_resume_dense_pooled_metric(tmp_path):
         mass_matrix="dense-pooled", checkpoint_path=ckpt_path,
     )
     ck = load_checkpoint(ckpt_path)
-    assert ck.meta == {"metric": "dense-pooled"}
+    assert ck.meta["metric"] == "dense-pooled"
+    # jitter settings ride the checkpoint so a resumed run keeps the
+    # pocket-rescue behavior (run_chains default: off)
+    assert ck.meta["step_jitter"] == 0.0
     assert ck.inv_mass.shape == (2, 2)
 
     s1, info1, ck2 = run_chains_resumed(vg, ck, n_samples=600)
