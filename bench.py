@@ -8,11 +8,12 @@ prior temperatures the reference's own E2E test asserts recovery on
 (test/runtests.jl:65-115; see the BETA note below for why not [1,1,5]).
 
 Headline: min-theta ESS/sec of the PRODUCTION stack (NLML init -> staged
-Gauss-Newton MAP -> Laplace whitening -> 64 vmapped NUTS chains with the
-cross-chain pooled dense metric, target accept 0.95), i.e. what
-`solve_magi(..., sampler='nuts', n_chains=64, mass_matrix='dense-pooled',
-x_whitened=True, target_accept_ratio=0.95)` delivers (the measured
-ESS/sec optimum of the chain-count sweep — benchmarks/chain_sweep.jsonl),
+Gauss-Newton MAP -> Laplace whitening -> 128 vmapped NUTS chains with the
+cross-chain pooled dense metric, target accept 0.95, step jitter 0.125),
+i.e. what `solve_magi(..., sampler='nuts', n_chains=128,
+mass_matrix='dense-pooled', x_whitened=True, target_accept_ratio=0.95,
+step_jitter=0.125)` delivers (the measured ESS/sec optimum of the
+chain-count sweep — benchmarks/chain_sweep_r5.jsonl),
 reported as the MEDIAN over seeds {42, 7, 123} over TOTAL wall (setup +
 compile + warmup + sampling). Single-basin sampling, matching what the
 reference's own chain samples at this protocol (BENCHMARKS.md
@@ -188,13 +189,16 @@ BETA = (1.0, 1.0, 1.0)
 PRODUCTION_SEEDS = (42, 7, 123)
 
 # Production chain count: the measured ESS/sec optimum from
-# benchmarks/chain_sweep.py (chain_sweep.jsonl, seeds 42/123, TA=0.95).
-# Min-theta ESS scales ~linearly with chains while wall time grows much
-# slower up to 64 (sampling-only ESS/s: 16 chains ~17-25, 32 ~49, 64
-# ~63-69); at 128 the per-iteration cost doubles AND tail risk bites —
-# with more chains the odds that SOME chain enters the theta_b~0.48
-# divergence pocket grow (seed 123 @128: 1376 divergences, ESS/s 15).
-N_CHAINS = 64
+# benchmarks/chain_sweep.py (chain_sweep_r5.jsonl, seeds 42/7/123,
+# TA=0.95, step_jitter=0.125, round-5 code). With the pocket tamed by
+# step jitter, 128 chains beats 64 on every seed (total ESS/s 108-159
+# vs 67-124): min-theta ESS scales SUPERLINEARLY 64->128 (the pooled
+# metric improves with the batch — divergences DROP 80/276/66 ->
+# 36/185/28) while wall grows only ~1.4x. 256 regresses (seed 42:
+# 107.6 total — per-iteration cost doubles past HBM amortization).
+# Round-4's 64-chain optimum was an artifact of the unjittered pocket
+# (seed 123 @128: 1376 divergences, since fixed — docs/BENCHMARKS.md).
+N_CHAINS = 128
 
 # Production step-size jitter (p, applied via bench_production): see the
 # MagiConfig comment in bench_production. Default decided by same-day A/B
