@@ -18,6 +18,7 @@ CONFIG_NAMES = {
     5: "FN multichain NUTS (BASELINE #5)",
     6: "FN full-posterior PT, beta=[1,1,5] (run_scripts protocol)",
     7: "FN ChEES/SNAPER (config-1 geometry)",
+    8: "FN scale stress n=1585 (filllevel 4, auto band policy)",
 }
 
 
