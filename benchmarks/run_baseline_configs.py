@@ -279,18 +279,23 @@ def run_config(idx: int, seed: int) -> dict:
         # actually matter and record WHICH impl it picked (diagnostics
         # band_impl) alongside recovery + mixing. At n=1585 the (D,n,n)
         # dense stacks are ~120 MB and each batched grad eval carries 4x
-        # config-4's matmul flops: chains drop to 16 and chunk_size to 25
-        # to keep single device calls under the remote worker's crash
-        # threshold (config-4 note: it died 3x at chunk 250 for n=793).
+        # config-4's matmul flops: chunk_size drops to 10 to keep single
+        # device calls under the remote worker's crash threshold
+        # (config-4 note: it died 3x at chunk 250 for n=793). Chains stay
+        # at the config-4 production 64: a first 16-chain attempt
+        # tree-saturated (ESS 35, R-hat 1.38 at 2k iters) because a
+        # pooled DENSE metric at dim=3175 is rank-starved from 16 chains'
+        # window draws — metric quality, not arithmetic, is the scaling
+        # constraint here.
         data = fn_data(seed, fill=4)  # n = 1585
         cfg = MagiConfig(
             niter_hmc=2000, step_size_factor=0.06, seed=seed,
             target_accept_ratio=0.95,
             prior_temperature=(1.0, 1.0, 1.0),
-            sampler="nuts", n_chains=16, x_whitened=True,
+            sampler="nuts", n_chains=64, x_whitened=True,
             theta_constrained=True, chain_init_jitter=0.05,
             mass_matrix="dense-pooled",
-            chunk_size=25,
+            chunk_size=10,
         )
         res = magi.solve_magi(data["y_grid"], data["t_grid"], FN_SYSTEM, cfg)
         out = theta_metrics(res, FN_THETA_TRUE)
