@@ -162,6 +162,20 @@ class MagiConfig:
     # equivalent; AdvancedHMC would assert on the pocket's -Inf instead).
     step_jitter: float = 0.0
     step_jitter_low: float = 0.4
+    # Divergence-informed curvature envelope (sampler='nuts' with
+    # mass_matrix='dense-pooled' and x_whitened=True): positions where
+    # warmup chains diverge are probed with the exact posterior Hessian
+    # (reusing the whitener's HVP program) and the pooled dense metric is
+    # PSD-max folded against each probe at every adaptation-window
+    # boundary — only directions where pocket curvature exceeds the pooled
+    # precision get more metric mass; the bulk geometry is untouched and
+    # the metric stays frozen after warmup (valid NUTS). The PRINCIPLED
+    # pocket fix (vs step_jitter's global eps tax): see
+    # parallel/chains.py CurvatureEnvelope. False = off (reference parity).
+    divergence_envelope: bool = False
+    # Max Hessian probes per run (each costs one dim-column HVP sweep on
+    # the host f64 replica at setup — a few seconds at n=397).
+    envelope_max_points: int = 4
     # When set, wraps sampling in jax.profiler.trace writing to this dir.
     profile_dir: Optional[str] = None
     # When set, a sampler checkpoint (.npz) is written after every sampling

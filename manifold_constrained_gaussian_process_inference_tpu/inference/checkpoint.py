@@ -90,6 +90,14 @@ def save_checkpoint(path: str, ckpt: SamplerCheckpoint) -> None:
             for j, part in enumerate(mom):
                 arrays[f"wu_mom_{i:03d}_{j}"] = np.asarray(part)
         arrays["wu_div"] = np.asarray(w["div"])
+        env = w.get("envelope")
+        if env is not None:
+            # CurvatureEnvelope probes (parallel/chains.py): stored so a
+            # resumed warmup folds the SAME precisions (bit-identical to
+            # the uninterrupted run) without recomputing Hessians.
+            for i, (pt, pr) in enumerate(zip(env["points"], env["precs"])):
+                arrays[f"wu_env_pt_{i:03d}"] = np.asarray(pt)
+                arrays[f"wu_env_prec_{i:03d}"] = np.asarray(pr)
     np.savez(path, **arrays)
 
 
@@ -110,6 +118,17 @@ def load_checkpoint(path: str) -> SamplerCheckpoint:
                 tuple(z[f"wu_mom_{i:03d}_{j}"] for j in range(5))
                 for i in range(n_moms)
             ]
+            env_pts = sorted(
+                k for k in z.files if k.startswith("wu_env_pt_")
+            )
+            envelope = None
+            if env_pts:
+                envelope = {
+                    "points": [z[k] for k in env_pts],
+                    "precs": [
+                        z[k.replace("_pt_", "_prec_")] for k in env_pts
+                    ],
+                }
             warmup = {
                 "pos": int(z["wu_pos"]),
                 "carry_leaves": leaves,
@@ -118,6 +137,7 @@ def load_checkpoint(path: str) -> SamplerCheckpoint:
                 "metric_pchol": z["wu_metric_pchol"],
                 "moments": moments,
                 "div": z["wu_div"],
+                "envelope": envelope,
             }
         return SamplerCheckpoint(
             psi=z["psi"],

@@ -162,6 +162,12 @@ class TreeB(NamedTuple):
     num_leaves: jnp.ndarray
     diverging: jnp.ndarray
     turning: jnp.ndarray
+    # Position of the divergent LEAF (the leapfrog state whose energy
+    # error tripped max_delta_energy — the actual pathological point, not
+    # the rejected start). (C, dim) when track_div_leaf, else (C, 0):
+    # a zero-width buffer makes every select on it free, so the flag-off
+    # path pays nothing. Consumed by CurvatureEnvelope probes.
+    q_div: jnp.ndarray
 
 
 class _SubStateB(NamedTuple):
@@ -189,11 +195,12 @@ class _SubStateB(NamedTuple):
     v_ckpts: jnp.ndarray
     rho_ckpts: jnp.ndarray
     keys: jnp.ndarray         # (C, 2)
+    q_div: jnp.ndarray        # (C, dim) | (C, 0) — see TreeB.q_div
 
 
 def _build_subtree_b(
     vg_b, q0, p0, v0, grad0, num_leaves, eps_signed, inv_mass, h0, keys,
-    alive0, max_depth, max_delta_energy,
+    alive0, max_depth, max_delta_energy, track_div_leaf=False,
 ):
     """Build ``num_leaves`` (scalar) leapfrog steps outward for every
     alive chain. Mirrors nuts._build_subtree per chain: a chain commits
@@ -254,6 +261,13 @@ def _build_subtree_b(
             ),
         )
 
+        # A chain freezes at its first bad leaf (alive drops), so this
+        # writes at most once per subtree; zero-width when not tracking.
+        kdiv = s.q_div.shape[1]
+        q_div = jnp.where(
+            (alive & bad)[:, None], q_n[:, :kdiv], s.q_div
+        )
+
         return _SubStateB(
             j=s.j + 1,
             alive=alive & ~(bad | turned),
@@ -273,6 +287,7 @@ def _build_subtree_b(
             turning=jnp.where(alive, turned, s.turning),
             r_ckpts=r_ckpts, v_ckpts=v_ckpts, rho_ckpts=rho_ckpts,
             keys=jnp.where(alive[:, None], keys_new, s.keys),
+            q_div=q_div,
         )
 
     init = _SubStateB(
@@ -291,6 +306,7 @@ def _build_subtree_b(
         v_ckpts=jnp.zeros((C, max_depth, dim), dtype),
         rho_ckpts=jnp.zeros((C, max_depth, dim), dtype),
         keys=keys,
+        q_div=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
     )
     s = lax.while_loop(cond, body, init)
     return TreeB(
@@ -304,6 +320,7 @@ def _build_subtree_b(
         num_leaves=s.n_leaves,
         diverging=s.diverging,
         turning=s.turning,
+        q_div=s.q_div,
     )
 
 
@@ -325,11 +342,20 @@ def nuts_transition_batched(
     inv_mass,              # DenseMetric (shared) | (dim,) | (C, dim)
     max_depth: int = 10,
     max_delta_energy: float = MAX_DELTA_ENERGY,
+    track_div_leaf: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, NutsStats]:
     """One NUTS transition for all C chains. ``vg_b`` maps (C, dim) ->
     ((C,), (C, dim)). Returns (q', logp', grad', NutsStats) with leading
     chain axes — the drop-in batched counterpart of
-    ``jax.vmap(nuts.nuts_transition)``."""
+    ``jax.vmap(nuts.nuts_transition)``.
+
+    ``track_div_leaf`` (static): additionally return a 5th output
+    q_div (C, dim) — each diverging chain's position at the leapfrog leaf
+    that tripped max_delta_energy (zeros for non-diverging chains). The
+    actual pathological point, unlike the transition's emitted position
+    (which rejects back to the trajectory START, typically in the healthy
+    bulk). Used by CurvatureEnvelope warmup probes; False keeps the exact
+    4-tuple contract and adds zero carried state ((C, 0) buffers)."""
     C, dim = q.shape
     dtype = q.dtype
     eps = jnp.broadcast_to(jnp.asarray(step_size, dtype), (C,))
@@ -350,6 +376,7 @@ def nuts_transition_batched(
         num_leaves=jnp.zeros((C,), dtype),
         diverging=jnp.zeros((C,), bool),
         turning=jnp.zeros((C,), bool),
+        q_div=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
     )
 
     def cond(s: _LoopStateB):
@@ -377,7 +404,7 @@ def nuts_transition_batched(
         sub = _build_subtree_b(
             vg_b, edge_q, edge_p, edge_v, edge_grad, num_leaves,
             direction * eps, inv_mass, h0, k_sub, upd,
-            max_depth, max_delta_energy,
+            max_depth, max_delta_energy, track_div_leaf,
         )
         valid = upd & ~(sub.diverging | sub.turning)
         valid_col = valid[:, None]
@@ -430,6 +457,11 @@ def nuts_transition_batched(
             turning=jnp.where(
                 upd, sub.turning | (valid & turning_combined), tree.turning
             ),
+            # at most one divergent subtree per transition (done is set),
+            # so this write happens once per diverging chain
+            q_div=jnp.where(
+                (upd & sub.diverging)[:, None], sub.q_div, tree.q_div
+            ),
         )
         done = s.done | (
             upd & (sub.diverging | sub.turning | turning_combined)
@@ -462,6 +494,8 @@ def nuts_transition_batched(
         energy=h0,
         step_size=eps,
     )
+    if track_div_leaf:
+        return tree.q_prop, tree.logp_prop, tree.grad_prop, stats, tree.q_div
     return tree.q_prop, tree.logp_prop, tree.grad_prop, stats
 
 
@@ -491,11 +525,15 @@ def init_warmup_carry_batched(
 
 
 def make_warmup_step_pooled_batched(
-    vg_b, target_accept: float, max_depth: int
+    vg_b, target_accept: float, max_depth: int, track_div_leaf: bool = False
 ):
     """Scan body for batched warmup under a SHARED dense metric (traced
     arg; see nuts.make_warmup_step_pooled). xs = (in_win, win_end)
-    SCALAR booleans — identical across chains, so they are not tiled."""
+    SCALAR booleans — identical across chains, so they are not tiled.
+
+    ``track_div_leaf``: ys additionally carry the divergent-leaf position
+    (C, dim) per step for CurvatureEnvelope probes (zeros when the step
+    did not diverge)."""
 
     def warmup_step(carry: WarmupCarry, xs, metric: DenseMetric):
         in_win, win_end = xs
@@ -504,10 +542,11 @@ def make_warmup_step_pooled_batched(
         ks = jax.vmap(lambda k: jax.random.split(k))(chain.key)
         key, k_step = ks[:, 0], ks[:, 1]
         eps = jnp.exp(carry.da.log_eps).astype(dtype)
-        q, logp, grad, stats = nuts_transition_batched(
+        out = nuts_transition_batched(
             vg_b, chain.q, chain.logp, chain.grad, k_step, eps, metric,
-            max_depth=max_depth,
+            max_depth=max_depth, track_div_leaf=track_div_leaf,
         )
+        q, logp, grad, stats = out[:4]
         da = jax.vmap(lambda d, a: da_update(d, a, target_accept))(
             carry.da, stats.accept_prob
         )
@@ -519,6 +558,8 @@ def make_warmup_step_pooled_batched(
             chain=ChainState(q=q, logp=logp, grad=grad, key=key),
             da=da, welford=carry.welford, inv_mass=carry.inv_mass,
         )
+        if track_div_leaf:
+            return new_carry, (q, stats.diverging, out[4])
         return new_carry, (q, stats.diverging)
 
     return warmup_step

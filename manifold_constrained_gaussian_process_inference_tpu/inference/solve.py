@@ -652,6 +652,40 @@ def solve_magi(
         psi0 = np.zeros(target.dimension)
         logger.info("Psi whitening enabled (Gauss-Newton Laplace at mode)")
 
+    # --- divergence-informed curvature envelope (parallel/chains.py
+    # CurvatureEnvelope): exact Hessian probes at divergent warmup
+    # positions, PSD-max folded into the pooled dense metric. The probe
+    # evaluates the f64 CPU replica target at psi = center + W z and
+    # conjugates through the whitener (H_z = W' H_psi W).
+    envelope = None
+    if config.divergence_envelope and config.sampler == "nuts":
+        if config.mass_matrix != "dense-pooled" or whitener is None:
+            logger.warning(
+                "divergence_envelope requires sampler='nuts' with "
+                "mass_matrix='dense-pooled' and x_whitened=True; disabled."
+            )
+        else:
+            from ..parallel.chains import CurvatureEnvelope
+            from .whiten import make_exact_hessian_fn
+
+            hess_psi_fn = make_exact_hessian_fn(target_h)
+            w64 = np.asarray(whitener.W, dtype=np.float64)
+            c64 = np.asarray(whitener.center, dtype=np.float64)
+
+            def hess_z(z):
+                psi_probe = c64 + w64 @ np.asarray(z, dtype=np.float64)
+                with jax.enable_x64(), jax.default_device(
+                    jax.devices("cpu")[0]
+                ):
+                    h = hess_psi_fn(psi_probe)
+                p = -0.5 * (h + h.T)
+                pz = w64.T @ p @ w64
+                return 0.5 * (pz + pz.T)
+
+            envelope = CurvatureEnvelope(
+                hess_z, max_points=config.envelope_max_points
+            )
+
     n_chains = int(config.n_chains)
     key = jax.random.PRNGKey(config.seed)
 
@@ -809,6 +843,7 @@ def solve_magi(
                 step_jitter=config.step_jitter,
                 step_jitter_low=config.step_jitter_low,
                 resume_ckpt=warmup_resume,
+                envelope=envelope,
             )
         else:
             raise MagiError(f"unknown sampler '{config.sampler}'")
@@ -882,6 +917,10 @@ def solve_magi(
     for k_ in ("accept_prob_per_rung", "tree_depth_per_rung"):
         if k_ in info:
             diagnostics[k_] = np.asarray(info[k_])
+    for k_ in ("envelope_points", "envelope_boost_dirs",
+               "envelope_boost_max"):
+        if k_ in info:
+            diagnostics[k_] = info[k_]
     return MagiResult(
         theta=theta_samples,
         x_sampled=x_samples,

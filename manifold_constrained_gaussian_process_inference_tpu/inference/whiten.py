@@ -224,30 +224,43 @@ def build_psi_whitener(
     )
 
 
+def make_exact_hessian_fn(target):
+    """Reusable dense-Hessian evaluator for ``target.logdensity``: the
+    evaluation point is a traced ARGUMENT of one jitted batched-HVP
+    program, so Hessians at many points (mode + divergence-pocket probes,
+    see parallel/chains.CurvatureEnvelope) share a single compile."""
+    import jax
+
+    logdensity = target.logdensity_fn()
+    grad_fn = jax.grad(logdensity)
+
+    @jax.jit
+    def hvp_batch(psi, vs):
+        return jax.vmap(
+            lambda v: jax.jvp(grad_fn, (psi,), (v,))[1]
+        )(vs)
+
+    def hessian(psi_center: np.ndarray) -> np.ndarray:
+        psi_center = np.asarray(psi_center, dtype=np.float64)
+        dim = psi_center.shape[0]
+        psi_j = jnp.asarray(psi_center)
+        cols = []
+        bs = 128
+        eye = np.eye(dim)
+        for s in range(0, dim, bs):
+            cols.append(
+                np.asarray(hvp_batch(psi_j, jnp.asarray(eye[s : s + bs])))
+            )
+        return np.concatenate(cols, axis=0)
+
+    return hessian
+
+
 def exact_hessian(target, psi_center: np.ndarray) -> np.ndarray:
     """Dense exact Hessian of ``target.logdensity`` at ``psi_center`` via
     batched HVPs (jvp of grad; float64 when x64 is live). Column batches
     bound peak memory to (batch, dim)."""
-    import jax
-
-    psi_center = np.asarray(psi_center, dtype=np.float64)
-    dim = psi_center.shape[0]
-    logdensity = target.logdensity_fn()
-    grad_fn = jax.grad(logdensity)
-    psi_j = jnp.asarray(psi_center)
-
-    @jax.jit
-    def hvp_batch(vs):
-        return jax.vmap(
-            lambda v: jax.jvp(grad_fn, (psi_j,), (v,))[1]
-        )(vs)
-
-    cols = []
-    bs = 128
-    eye = np.eye(dim)
-    for s in range(0, dim, bs):
-        cols.append(np.asarray(hvp_batch(jnp.asarray(eye[s : s + bs]))))
-    return np.concatenate(cols, axis=0)
+    return make_exact_hessian_fn(target)(psi_center)
 
 
 def build_psi_whitener_exact(

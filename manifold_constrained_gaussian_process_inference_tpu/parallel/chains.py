@@ -122,7 +122,7 @@ def _pooled_dense_metric(
 
 
 def pooled_dense_metric_from_moments(
-    moments, dim: int, dtype, prev: DenseMetric
+    moments, dim: int, dtype, prev: DenseMetric, envelope=None
 ) -> DenseMetric:
     """DenseMetric from DEVICE-accumulated window moments.
 
@@ -156,7 +156,7 @@ def pooled_dense_metric_from_moments(
     s2 = np.sum([np.asarray(m[2], np.float64) for m in moments], axis=0)
     mean = s1 / cnt
     cov = (s2 - cnt * np.outer(mean, mean)) / (cnt - 1.0)
-    return _metric_from_cov(cov, cnt, dim, dtype, prev)
+    return _metric_from_cov(cov, cnt, dim, dtype, prev, envelope)
 
 
 def pooled_dense_metric_from_samples(
@@ -171,9 +171,15 @@ def pooled_dense_metric_from_samples(
 
 
 def _metric_from_cov(
-    cov: np.ndarray, n_s: float, dim: int, dtype, prev: DenseMetric
+    cov: np.ndarray, n_s: float, dim: int, dtype, prev: DenseMetric,
+    envelope=None,
 ) -> DenseMetric:
-    """Shared covariance -> regularized DenseMetric tail (f64 host)."""
+    """Shared covariance -> regularized DenseMetric tail (f64 host).
+
+    ``envelope`` (CurvatureEnvelope, optional): after shrinkage the
+    covariance is folded against every collected divergence-curvature
+    probe (PSD-max of precisions), so pocket directions get the mass the
+    pooled estimate missed."""
     # Degenerate-window guard: if the chains barely moved this window (all
     # variances far below the ~unit whitened scale), the pooled covariance
     # measures the FREEZE, not the posterior — adopting it shrinks the
@@ -188,6 +194,8 @@ def _metric_from_cov(
         return prev
     w = n_s / (n_s + dim)
     reg = w * cov + (1.0 - w) * np.eye(dim)
+    if envelope is not None:
+        reg = envelope.fold(reg)
     try:
         chol = np.linalg.cholesky(reg)
     except np.linalg.LinAlgError:
@@ -203,6 +211,171 @@ def _metric_from_cov(
         # TPU by ~400x per transition; DenseMetric docstring)
         p_chol=jnp.asarray(np.linalg.inv(chol).T, dtype=dtype),
     )
+
+
+def _last_div_position(qs, div):
+    """Per-chain position at the LAST divergent transition of a chunk.
+
+    ``qs`` (C, L, dim), ``div`` (C, L) -> ((C, dim), (C,) bool). A
+    divergent NUTS transition rejects back to its start point, so the
+    emitted position sits in (or at the edge of) the pathological region
+    that produced the divergence — the natural probe point for
+    CurvatureEnvelope. Chains without a divergence return row 0 garbage
+    under has_div=False. Device-side: one masked argmax + gather, (C, dim)
+    transferred instead of the (C, L, dim) chunk."""
+    length = qs.shape[1]
+    order = jnp.arange(1, length + 1, dtype=qs.dtype)          # 1..L
+    idx = jnp.argmax(div.astype(qs.dtype) * order, axis=1)     # (C,)
+    q_ld = jnp.take_along_axis(qs, idx[:, None, None], axis=1)[:, 0, :]
+    return q_ld, jnp.any(div, axis=1)
+
+
+class CurvatureEnvelope:
+    """Divergence-informed curvature envelope for the pooled dense metric.
+
+    The principled fix for localized sharp-curvature pockets (FN
+    theta_b~0.48: P(divergence)=0.64 in-pocket at the bulk-adapted eps —
+    docs/BENCHMARKS.md pocket forensics). The pooled sample covariance
+    measures the posterior's BULK scales; a pocket whose curvature exceeds
+    the pooled precision in some direction makes the leapfrog unstable
+    there no matter how well eps fits the bulk. Instead of shrinking eps
+    globally (step_jitter's rescue, which taxes every draw), this probes
+    the actual Hessian at positions where warmup chains diverged and takes
+    the PSD-max of the pooled precision with each probe:
+
+        P_env = max_PSD(P_pool, W' H_pocket W, ...)
+
+    so ONLY the directions where pocket curvature exceeds the pooled
+    precision get more mass (smaller M^-1 -> shorter leapfrog moves
+    there); every other direction keeps the pooled estimate untouched.
+    The metric stays fixed after warmup, so sampling remains a valid
+    (reversible, volume-preserving) NUTS chain — this is the
+    "re-whitening at adaptation windows" of docs/ROADMAP.md Weak #1,
+    folded into the metric (a traced argument) so no program recompiles.
+
+    Host-side, float64. ``hess_fn(z) -> (dim, dim)`` must return the
+    NEGATIVE Hessian of the log-density in SAMPLER coordinates (i.e. the
+    local precision; solve.py builds it from the exact psi-space Hessian
+    conjugated through the whitener, reusing the mode-whitening HVP
+    program). Probes are collected during warmup: after each chunk, the
+    chain with the most divergences donates its last divergent position —
+    at most one probe per chunk, at most ``max_points`` per run, and only
+    from chunks where the divergence fraction is below ``max_div_frac``
+    (mass divergence means a wrong step size, not a localized pocket) and
+    at least one adaptation window has completed (init-buffer divergences
+    are step-size-search noise). ``lam_cap`` bounds the per-direction
+    precision boost against a garbage Hessian at a pathological point."""
+
+    def __init__(
+        self,
+        hess_fn,
+        max_points: int = 4,
+        lam_cap: float = 1e4,
+        max_div_frac: float = 0.05,
+    ):
+        self.hess_fn = hess_fn
+        self.max_points = int(max_points)
+        self.lam_cap = float(lam_cap)
+        self.max_div_frac = float(max_div_frac)
+        self.points: list = []   # probed z positions, (dim,) float64
+        self.precs: list = []    # probed local precisions, (dim, dim) f64
+        self.boost_dirs = 0      # diagnostics from the last fold
+        self.boost_max = 1.0
+
+    def collect(self, q_lastdiv, has_div, div, past_first_window: bool):
+        """Maybe probe ONE divergent position from a finished warmup chunk.
+
+        ``q_lastdiv`` (C, dim): each chain's position at its last divergent
+        transition in the chunk (garbage where ``has_div`` is False);
+        ``div`` (C, L): the chunk's divergence flags."""
+        if not past_first_window or len(self.points) >= self.max_points:
+            return
+        div = np.asarray(div, dtype=bool)
+        if div.size == 0:
+            return
+        frac = float(div.mean())
+        if frac <= 0.0 or frac > self.max_div_frac:
+            return
+        counts = div.sum(axis=1)
+        i = int(np.argmax(counts))
+        if not bool(np.asarray(has_div)[i]):
+            return
+        z = np.asarray(q_lastdiv[i], dtype=np.float64)
+        try:
+            prec = np.asarray(self.hess_fn(z), dtype=np.float64)
+        except Exception:
+            logger.warning(
+                "curvature envelope: Hessian probe failed; skipping point."
+            )
+            return
+        self.points.append(z)
+        self.precs.append(0.5 * (prec + prec.T))
+        logger.info(
+            "curvature envelope: probe %d at a divergent position "
+            "(chain %d, %d divergence(s) in chunk, |z| = %.1f).",
+            len(self.points), i, int(counts[i]), float(np.linalg.norm(z)),
+        )
+
+    def fold(self, cov: np.ndarray) -> np.ndarray:
+        """PSD-max the precision of ``cov`` with every collected probe.
+
+        Sequential congruence folds: with P = F F', each probe P_i is
+        whitened to S_i = F^-1 P_i F^-T, its eigenvalues clipped to
+        [1, lam_cap] (only BOOSTS survive — directions the pooled metric
+        already dominates are untouched, as are negative-curvature
+        directions of an off-mode Hessian), and the factor updated
+        F <- F Q sqrt(clip(lam)). Returns the enveloped covariance
+        (P_env^-1), or ``cov`` unchanged when no probe boosts anything."""
+        if not self.precs:
+            return cov
+        try:
+            chol = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            logger.warning(
+                "curvature envelope: pooled covariance not SPD; skipping "
+                "fold."
+            )
+            return cov
+        # P_pool = L^-T L^-1 = F F' with F = L^-T, F^-1 = L'.
+        f_inv = chol.T
+        f = np.linalg.inv(chol).T
+        boost_dirs = 0
+        boost_max = 1.0
+        for prec in self.precs:
+            s = f_inv @ prec @ f_inv.T
+            lam, q = np.linalg.eigh(0.5 * (s + s.T))
+            lam_c = np.clip(lam, 1.0, self.lam_cap)
+            nb = int(np.sum(lam_c > 1.0 + 1e-9))
+            if nb == 0:
+                continue
+            boost_dirs += nb
+            boost_max = max(boost_max, float(lam_c.max()))
+            f = f @ (q * np.sqrt(lam_c))
+            f_inv = (q / np.sqrt(lam_c)).T @ f_inv
+        self.boost_dirs, self.boost_max = boost_dirs, boost_max
+        if boost_dirs == 0:
+            return cov
+        cov_env = f_inv.T @ f_inv
+        logger.info(
+            "curvature envelope: boosted %d direction(s), max precision "
+            "ratio %.1f.", boost_dirs, boost_max,
+        )
+        return 0.5 * (cov_env + cov_env.T)
+
+    def state(self) -> dict:
+        """Checkpointable state (warmup-phase SamplerCheckpoint)."""
+        return {
+            "points": [np.asarray(p) for p in self.points],
+            "precs": [np.asarray(p) for p in self.precs],
+        }
+
+    def restore(self, st: dict) -> None:
+        self.points = [
+            np.asarray(p, dtype=np.float64) for p in st.get("points", [])
+        ]
+        self.precs = [
+            np.asarray(p, dtype=np.float64) for p in st.get("precs", [])
+        ]
 
 
 def run_chains(
@@ -224,6 +397,7 @@ def run_chains(
     step_jitter: float = 0.0,
     step_jitter_low: float = 0.4,
     resume_ckpt=None,
+    envelope=None,
 ):
     """Run C NUTS chains (Stan warmup + sampling). Returns
     (samples (C, S, dim) numpy, info dict with a leading chain axis).
@@ -269,16 +443,27 @@ def run_chains(
     draws would make every batched iteration pay the small-eps
     deep-tree cost, while a shared draw pays it only on the jittered
     fraction (expected extra leapfrogs ~ 1 + p*((1/low-1)/log(1/low)-1)
-    ~ 8% at p=1/8, low=0.4)."""
+    ~ 8% at p=1/8, low=0.4).
+
+    ``envelope`` (dense-pooled only): a CurvatureEnvelope — divergent
+    warmup positions are probed for their local curvature and PSD-max
+    folded into the pooled metric at every adaptation-window boundary,
+    so pocket directions get metric mass instead of a global eps tax
+    (the principled pocket fix; see the class docstring)."""
     if mass_matrix == "dense-pooled":
         return _run_chains_pooled(
             vg, psi0, keys, n_samples, n_adapts, initial_step_size,
             target_accept, max_depth, mesh, chunk_size, progress,
             checkpoint_path, batched_transition,
-            step_jitter, step_jitter_low, resume_ckpt,
+            step_jitter, step_jitter_low, resume_ckpt, envelope,
         )
     if mass_matrix != "diag":
         raise ValueError(f"unknown mass_matrix '{mass_matrix}'")
+    if envelope is not None:
+        raise ValueError(
+            "the curvature envelope folds into the dense-pooled metric; "
+            "mass_matrix='diag' (Stan parity) does not support it."
+        )
     if resume_ckpt is not None:
         raise ValueError(
             "warmup resume is implemented for mass_matrix='dense-pooled' "
@@ -439,6 +624,7 @@ def _run_chains_pooled(
     batched_transition=True,
     step_jitter=0.0, step_jitter_low=0.4,
     resume_ckpt=None,
+    envelope=None,
 ):
     """run_chains with the cross-chain pooled dense metric (see run_chains
     docstring). Warmup chunks are aligned to adaptation-window boundaries;
@@ -449,6 +635,12 @@ def _run_chains_pooled(
     n_keep = n_samples - n_adapts
     dtype = psi0.dtype
     vg_b = jax.vmap(vg) if batched_transition else None
+    if envelope is not None and not batched_transition:
+        raise ValueError(
+            "the curvature envelope needs the divergent-leaf positions "
+            "only the batched transition tracks (nuts_batched "
+            "track_div_leaf); run with batched_transition=True."
+        )
 
     def wrap(f, n_mapped, n_shared=1):
         """vmap over chains for the first n_mapped args; the n_shared
@@ -521,20 +713,30 @@ def _run_chains_pooled(
         return moments
 
     if batched_transition:
+        track_div = envelope is not None
         warmup_step_b = make_warmup_step_pooled_batched(
-            vg_b, target_accept, max_depth
+            vg_b, target_accept, max_depth, track_div_leaf=track_div
         )
 
         def warmup_chunk_batched(carry, iw, we, m):
             """iw/we are (L,) scalars per step (identical across chains)."""
-            carry, (qs, div) = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 lambda cc, x: warmup_step_b(cc, x, m), carry, (iw, we)
             )
+            qs, div = ys[0], ys[1]
             qs = jnp.swapaxes(qs, 0, 1)                        # (C, L, dim)
             div = div.T                                        # (C, L)
             iw_c = jnp.broadcast_to(iw[None, :], div.shape)
             moments = _window_moments(qs, div, iw_c, axis_name)
-            return carry, div, moments
+            if track_div:
+                # probe at the divergent LEAF (the exploding leapfrog
+                # state inside the tree), not the rejected start point
+                q_ld, has_div = _last_div_position(
+                    jnp.swapaxes(ys[2], 0, 1), div
+                )
+            else:
+                q_ld, has_div = _last_div_position(qs, div)
+            return carry, div, moments, q_ld, has_div
 
         warmup_in_specs = (P(CHAIN_AXIS), P(), P(), P())
     else:
@@ -553,7 +755,8 @@ def _run_chains_pooled(
 
             carry, (qs, div) = jax.vmap(scan_one)(carry, iw, we)
             moments = _window_moments(qs, div, iw, axis_name)
-            return carry, div, moments
+            q_ld, has_div = _last_div_position(qs, div)
+            return carry, div, moments, q_ld, has_div
 
         warmup_in_specs = (
             P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS), P()
@@ -567,7 +770,10 @@ def _run_chains_pooled(
             return jax.jit(jax.shard_map(
                 f, mesh=mesh,
                 in_specs=warmup_in_specs,
-                out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                out_specs=(
+                    P(CHAIN_AXIS), P(CHAIN_AXIS), P(),
+                    P(CHAIN_AXIS), P(CHAIN_AXIS),
+                ),
                 check_vma=False,
             ))
 
@@ -575,6 +781,7 @@ def _run_chains_pooled(
     warmup_div_chunks = []
     window_moments = []
     pos = 0
+    n_boundaries = 0
     resume_pos = 0
     if resume_ckpt is not None:
         # Restore the full adaptation state a killed warmup left behind
@@ -598,12 +805,15 @@ def _run_chains_pooled(
             p_chol=jnp.asarray(w["metric_pchol"]),
         )
         resume_pos = int(w["pos"])
+        n_boundaries = int(np.sum(window_end[:resume_pos]))
         window_moments = [
             tuple(np.asarray(p) for p in m) for m in w["moments"]
         ]
         div0 = np.asarray(w["div"])
         if div0.size:
             warmup_div_chunks.append(div0)
+        if envelope is not None and w.get("envelope") is not None:
+            envelope.restore(w["envelope"])
     t0 = time.time()
     chunks = _window_aligned_chunks(window_end, chunk_size)
     if resume_pos and resume_pos not in np.cumsum(chunks):
@@ -634,21 +844,30 @@ def _run_chains_pooled(
         if length not in compiled_warmup:
             compiled_warmup[length] = wrap_warmup(warmup_chunk_batched)
         t_call = time.time()
-        carry, div, moments = compiled_warmup[length](carry, iw, we, metric)
+        carry, div, moments, q_ld, has_div = compiled_warmup[length](
+            carry, iw, we, metric
+        )
         if profile_chunks:
             jax.block_until_ready(carry)
             logger.warning(
                 "warmup chunk %d+%d: device %.2fs",
                 pos, length, time.time() - t_call,
             )
-        warmup_div_chunks.append(np.asarray(div))
+        div_np = np.asarray(div)
+        warmup_div_chunks.append(div_np)
         window_moments.append(moments)
+        if envelope is not None:
+            envelope.collect(
+                np.asarray(q_ld), np.asarray(has_div), div_np,
+                past_first_window=n_boundaries >= 1,
+            )
         pos += length
         if window_end[pos - 1]:
             metric = pooled_dense_metric_from_moments(
-                window_moments, dim, dtype, metric
+                window_moments, dim, dtype, metric, envelope
             )
             window_moments = []
+            n_boundaries += 1
         if checkpoint_path:
             # Warmup-phase checkpoint: a killed warmup resumes from here
             # instead of restarting (written post-metric-update so the
@@ -687,6 +906,10 @@ def _run_chains_pooled(
                             for m in window_moments
                         ],
                         "div": cat_warmup_div(warmup_div_chunks, n_chains),
+                        "envelope": (
+                            envelope.state() if envelope is not None
+                            else None
+                        ),
                     },
                 ),
             )
@@ -837,6 +1060,10 @@ def _run_chains_pooled(
         "final_psi": np.asarray(scarry.chain.q),
         "final_key": np.asarray(scarry.chain.key),
     }
+    if envelope is not None:
+        info["envelope_points"] = len(envelope.points)
+        info["envelope_boost_dirs"] = int(envelope.boost_dirs)
+        info["envelope_boost_max"] = float(envelope.boost_max)
     return samples, info
 
 
