@@ -206,6 +206,12 @@ N_CHAINS = 128
 # round-5 pocket section).
 STEP_JITTER = 0.125
 
+# Divergence-informed curvature envelope (config.divergence_envelope):
+# False until the TPU A/B on the pocket reproducer decides the production
+# default (candidate: envelope on + jitter reduced/off — it fixes the
+# pocket's geometry at FULL eps instead of jitter's downward eps tax).
+ENVELOPE = False
+
 
 def build_workload(n_obs=100, t_end=20.0, fill=2, seed=42):
     import jax.numpy as jnp
@@ -285,7 +291,7 @@ def bench_device_grad(target, psi0, n_evals=3000):
 
 
 def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
-                     step_jitter=STEP_JITTER):
+                     step_jitter=STEP_JITTER, envelope=ENVELOPE):
     """The production stack on the reference protocol, through the public
     API: solve_magi with NLML init -> staged Gauss-Newton MAP -> Laplace
     whitening -> pooled-dense-metric multi-chain NUTS. Reports min-theta
@@ -343,6 +349,12 @@ def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
         # (parallel/chains.py step_jitter; validated on that reproducer —
         # docs/BENCHMARKS.md).
         step_jitter=step_jitter,
+        # The PRINCIPLED pocket treatment (parallel/chains.py
+        # CurvatureEnvelope): exact-Hessian probes at divergent warmup
+        # leaves, PSD-max folded into the pooled metric — fixes the
+        # pocket's geometry instead of (step_jitter) periodically
+        # shrinking eps for every chain.
+        divergence_envelope=envelope,
         seed=seed,
         # Full-precision contractions lengthen each device call ~3x; the
         # remote worker crashes on multi-minute single executions — bound
@@ -379,6 +391,10 @@ def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
         divergences=int(d["n_divergent"]),
         grad_evals=float(d["gradient_evals"]),
     )
+    if "envelope_points" in d:
+        out["envelope_points"] = int(d["envelope_points"])
+        out["envelope_boost_dirs"] = int(d["envelope_boost_dirs"])
+        out["envelope_boost_max"] = round(float(d["envelope_boost_max"]), 1)
     # Swap statistics exist only for PT samplers; emitting them as NaN for
     # plain NUTS made BENCH_r02.json non-strict JSON (VERDICT r2 item 5).
     if "swap_acceptance" in d:

@@ -41,6 +41,11 @@ def main():
         help="post-warmup shared step-size jitter probability "
              "(0 = off; see parallel/chains.py)",
     )
+    ap.add_argument(
+        "--envelope", action="store_true",
+        help="divergence-informed curvature envelope "
+             "(config.divergence_envelope; parallel/chains.py)",
+    )
     args = ap.parse_args()
 
     _, _, host = bench.build_workload()
@@ -51,6 +56,7 @@ def main():
                 out = bench.bench_production(
                     host, seed=seed, n_chains=c,
                     step_jitter=args.step_jitter,
+                    envelope=args.envelope,
                 )
                 out = {k: v for k, v in out.items()
                        if k not in ("theta_mean", "sigma_mean")}
@@ -59,6 +65,7 @@ def main():
             out["n_chains"] = c
             out["seed"] = seed
             out["step_jitter"] = args.step_jitter
+            out["envelope"] = bool(args.envelope)
             log(json.dumps(out))
             with open(args.out, "a") as f:
                 f.write(json.dumps(out) + "\n")

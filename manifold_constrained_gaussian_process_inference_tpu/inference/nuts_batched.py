@@ -162,12 +162,19 @@ class TreeB(NamedTuple):
     num_leaves: jnp.ndarray
     diverging: jnp.ndarray
     turning: jnp.ndarray
-    # Position of the divergent LEAF (the leapfrog state whose energy
-    # error tripped max_delta_energy — the actual pathological point, not
-    # the rejected start). (C, dim) when track_div_leaf, else (C, 0):
-    # a zero-width buffer makes every select on it free, so the flag-off
-    # path pays nothing. Consumed by CurvatureEnvelope probes.
+    # The two endpoints of the divergent leapfrog step: q_div is the
+    # state the step was taken FROM (last in-support point at the
+    # pathology's edge), q_div_leaf the exploded leaf it produced. The
+    # envelope probe point is found between them by a host-side
+    # in-support bisection (CurvatureEnvelope.collect) — the edge alone
+    # underestimates pocket curvature (measured 4.3x boost vs the 400x
+    # the funnel-lite pocket needs) while the leaf alone sits
+    # post-explosion where curvature is astronomical in every direction
+    # (measured on FN production: 805 directions x6566, chains frozen).
+    # (C, dim) when track_div_leaf, else (C, 0): zero-width buffers make
+    # every select on them free, so the flag-off path pays nothing.
     q_div: jnp.ndarray
+    q_div_leaf: jnp.ndarray
 
 
 class _SubStateB(NamedTuple):
@@ -196,6 +203,7 @@ class _SubStateB(NamedTuple):
     rho_ckpts: jnp.ndarray
     keys: jnp.ndarray         # (C, 2)
     q_div: jnp.ndarray        # (C, dim) | (C, 0) — see TreeB.q_div
+    q_div_leaf: jnp.ndarray   # (C, dim) | (C, 0)
 
 
 def _build_subtree_b(
@@ -263,10 +271,12 @@ def _build_subtree_b(
 
         # A chain freezes at its first bad leaf (alive drops), so this
         # writes at most once per subtree; zero-width when not tracking.
+        # Both endpoints of the divergent step are recorded — see
+        # TreeB.q_div for why neither alone is a usable curvature probe.
         kdiv = s.q_div.shape[1]
-        q_div = jnp.where(
-            (alive & bad)[:, None], q_n[:, :kdiv], s.q_div
-        )
+        newly_bad = (alive & bad)[:, None]
+        q_div = jnp.where(newly_bad, q[:, :kdiv], s.q_div)
+        q_div_leaf = jnp.where(newly_bad, q_n[:, :kdiv], s.q_div_leaf)
 
         return _SubStateB(
             j=s.j + 1,
@@ -288,6 +298,7 @@ def _build_subtree_b(
             r_ckpts=r_ckpts, v_ckpts=v_ckpts, rho_ckpts=rho_ckpts,
             keys=jnp.where(alive[:, None], keys_new, s.keys),
             q_div=q_div,
+            q_div_leaf=q_div_leaf,
         )
 
     init = _SubStateB(
@@ -307,6 +318,7 @@ def _build_subtree_b(
         rho_ckpts=jnp.zeros((C, max_depth, dim), dtype),
         keys=keys,
         q_div=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
+        q_div_leaf=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
     )
     s = lax.while_loop(cond, body, init)
     return TreeB(
@@ -321,6 +333,7 @@ def _build_subtree_b(
         diverging=s.diverging,
         turning=s.turning,
         q_div=s.q_div,
+        q_div_leaf=s.q_div_leaf,
     )
 
 
@@ -350,12 +363,12 @@ def nuts_transition_batched(
     ``jax.vmap(nuts.nuts_transition)``.
 
     ``track_div_leaf`` (static): additionally return a 5th output
-    q_div (C, dim) — each diverging chain's position at the leapfrog leaf
-    that tripped max_delta_energy (zeros for non-diverging chains). The
-    actual pathological point, unlike the transition's emitted position
-    (which rejects back to the trajectory START, typically in the healthy
-    bulk). Used by CurvatureEnvelope warmup probes; False keeps the exact
-    4-tuple contract and adds zero carried state ((C, 0) buffers)."""
+    q_div (C, dim) — each diverging chain's last in-support position
+    before the leapfrog step that tripped max_delta_energy (zeros for
+    non-diverging chains); see TreeB.q_div for why neither the exploded
+    leaf nor the transition's emitted position works as a curvature
+    probe. Used by CurvatureEnvelope warmup probes; False keeps the
+    exact 4-tuple contract and adds zero carried state ((C, 0) buffers)."""
     C, dim = q.shape
     dtype = q.dtype
     eps = jnp.broadcast_to(jnp.asarray(step_size, dtype), (C,))
@@ -377,6 +390,7 @@ def nuts_transition_batched(
         diverging=jnp.zeros((C,), bool),
         turning=jnp.zeros((C,), bool),
         q_div=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
+        q_div_leaf=jnp.zeros((C, dim if track_div_leaf else 0), dtype),
     )
 
     def cond(s: _LoopStateB):
@@ -462,6 +476,10 @@ def nuts_transition_batched(
             q_div=jnp.where(
                 (upd & sub.diverging)[:, None], sub.q_div, tree.q_div
             ),
+            q_div_leaf=jnp.where(
+                (upd & sub.diverging)[:, None], sub.q_div_leaf,
+                tree.q_div_leaf,
+            ),
         )
         done = s.done | (
             upd & (sub.diverging | sub.turning | turning_combined)
@@ -495,7 +513,10 @@ def nuts_transition_batched(
         step_size=eps,
     )
     if track_div_leaf:
-        return tree.q_prop, tree.logp_prop, tree.grad_prop, stats, tree.q_div
+        return (
+            tree.q_prop, tree.logp_prop, tree.grad_prop, stats,
+            (tree.q_div, tree.q_div_leaf),
+        )
     return tree.q_prop, tree.logp_prop, tree.grad_prop, stats
 
 
@@ -531,9 +552,9 @@ def make_warmup_step_pooled_batched(
     arg; see nuts.make_warmup_step_pooled). xs = (in_win, win_end)
     SCALAR booleans — identical across chains, so they are not tiled.
 
-    ``track_div_leaf``: ys additionally carry the divergent-leaf position
-    (C, dim) per step for CurvatureEnvelope probes (zeros when the step
-    did not diverge)."""
+    ``track_div_leaf``: ys additionally carry the divergent step's two
+    endpoints ((C, dim) edge, (C, dim) exploded leaf) per step for
+    CurvatureEnvelope probes (zeros when the step did not diverge)."""
 
     def warmup_step(carry: WarmupCarry, xs, metric: DenseMetric):
         in_win, win_end = xs

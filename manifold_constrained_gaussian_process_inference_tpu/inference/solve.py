@@ -669,6 +669,7 @@ def solve_magi(
             from .whiten import make_exact_hessian_fn
 
             hess_psi_fn = make_exact_hessian_fn(target_h)
+            logp_psi_fn = jax.jit(target_h.logdensity_fn())
             w64 = np.asarray(whitener.W, dtype=np.float64)
             c64 = np.asarray(whitener.center, dtype=np.float64)
 
@@ -682,8 +683,16 @@ def solve_magi(
                 pz = w64.T @ p @ w64
                 return 0.5 * (pz + pz.T)
 
+            def logp_z(z):
+                psi_probe = c64 + w64 @ np.asarray(z, dtype=np.float64)
+                with jax.enable_x64(), jax.default_device(
+                    jax.devices("cpu")[0]
+                ):
+                    return float(logp_psi_fn(jnp.asarray(psi_probe)))
+
             envelope = CurvatureEnvelope(
-                hess_z, max_points=config.envelope_max_points
+                hess_z, logp_fn=logp_z,
+                max_points=config.envelope_max_points,
             )
 
     n_chains = int(config.n_chains)

@@ -214,15 +214,19 @@ def _metric_from_cov(
 
 
 def _last_div_position(qs, div):
-    """Per-chain position at the LAST divergent transition of a chunk.
+    """Per-chain position associated with the LAST divergent transition
+    of a chunk.
 
-    ``qs`` (C, L, dim), ``div`` (C, L) -> ((C, dim), (C,) bool). A
-    divergent NUTS transition rejects back to its start point, so the
-    emitted position sits in (or at the edge of) the pathological region
-    that produced the divergence — the natural probe point for
-    CurvatureEnvelope. Chains without a divergence return row 0 garbage
-    under has_div=False. Device-side: one masked argmax + gather, (C, dim)
-    transferred instead of the (C, L, dim) chunk."""
+    ``qs`` (C, L, dim), ``div`` (C, L) -> ((C, dim), (C,) bool). With
+    envelope tracking on, ``qs`` is the per-step divergent-LEAF stack
+    (nuts_batched track_div_leaf) — the leapfrog state that actually
+    tripped the energy threshold, which is the right CurvatureEnvelope
+    probe point (the transition's emitted position rejects back to the
+    trajectory START, typically in the healthy bulk — measured on the
+    funnel-lite reproducer: start-point probes see identity curvature,
+    leaf probes see the pocket). Chains without a divergence return row-0
+    garbage under has_div=False. Device-side: one masked argmax + gather,
+    (C, dim) transferred instead of the (C, L, dim) chunk."""
     length = qs.shape[1]
     order = jnp.arange(1, length + 1, dtype=qs.dtype)          # 1..L
     idx = jnp.argmax(div.astype(qs.dtype) * order, axis=1)     # (C,)
@@ -269,25 +273,64 @@ class CurvatureEnvelope:
     def __init__(
         self,
         hess_fn,
+        logp_fn=None,
         max_points: int = 4,
         lam_cap: float = 1e4,
         max_div_frac: float = 0.05,
+        max_boost_dims: int = 16,
+        support_drop: float = 50.0,
+        boost_margin: float = 16.0,
     ):
         self.hess_fn = hess_fn
+        self.logp_fn = logp_fn
         self.max_points = int(max_points)
         self.lam_cap = float(lam_cap)
         self.max_div_frac = float(max_div_frac)
+        self.max_boost_dims = int(max_boost_dims)
+        self.support_drop = float(support_drop)
+        self.boost_margin = float(boost_margin)
         self.points: list = []   # probed z positions, (dim,) float64
         self.precs: list = []    # probed local precisions, (dim, dim) f64
         self.boost_dirs = 0      # diagnostics from the last fold
         self.boost_max = 1.0
 
+    def _probe_point(self, edge: np.ndarray, leaf: np.ndarray) -> np.ndarray:
+        """In-support bisection between the divergent step's endpoints.
+
+        The edge alone underestimates the pocket (the step was taken from
+        OUTSIDE it); the exploded leaf sits post-explosion where curvature
+        is astronomical in every direction (both measured — TreeB.q_div).
+        Without a logp_fn the edge is used as-is. Otherwise: walk from the
+        edge toward the leaf, halving, until the log-density is within
+        ``support_drop`` of the edge's — the farthest still-in-support
+        point along the divergent step, i.e. the pocket's interior wall.
+        Costs a handful of cheap density evals per probe."""
+        if self.logp_fn is None:
+            return edge
+        d = leaf - edge
+        d = np.where(np.isfinite(d), d, 0.0)
+        # post-explosion leaves can be numerically enormous; bound the
+        # initial segment to a sane multiple of the whitened unit scale
+        norm = float(np.linalg.norm(d))
+        max_norm = 16.0 * np.sqrt(d.shape[0])
+        if norm > max_norm:
+            d *= max_norm / norm
+        lp_edge = float(self.logp_fn(edge))
+        t = 1.0
+        for _ in range(10):
+            zt = edge + t * d
+            lp = float(self.logp_fn(zt))
+            if np.isfinite(lp) and lp > lp_edge - self.support_drop:
+                return zt
+            t *= 0.5
+        return edge
+
     def collect(self, q_lastdiv, has_div, div, past_first_window: bool):
         """Maybe probe ONE divergent position from a finished warmup chunk.
 
-        ``q_lastdiv`` (C, dim): each chain's position at its last divergent
-        transition in the chunk (garbage where ``has_div`` is False);
-        ``div`` (C, L): the chunk's divergence flags."""
+        ``q_lastdiv`` (C, 2, dim): each chain's last divergent step's
+        (edge, exploded leaf) endpoints (garbage where ``has_div`` is
+        False); ``div`` (C, L): the chunk's divergence flags."""
         if not past_first_window or len(self.points) >= self.max_points:
             return
         div = np.asarray(div, dtype=bool)
@@ -300,8 +343,9 @@ class CurvatureEnvelope:
         i = int(np.argmax(counts))
         if not bool(np.asarray(has_div)[i]):
             return
-        z = np.asarray(q_lastdiv[i], dtype=np.float64)
+        pair = np.asarray(q_lastdiv[i], dtype=np.float64)
         try:
+            z = self._probe_point(pair[0], pair[1])
             prec = np.asarray(self.hess_fn(z), dtype=np.float64)
         except Exception:
             logger.warning(
@@ -344,7 +388,27 @@ class CurvatureEnvelope:
         for prec in self.precs:
             s = f_inv @ prec @ f_inv.T
             lam, q = np.linalg.eigh(0.5 * (s + s.T))
-            lam_c = np.clip(lam, 1.0, self.lam_cap)
+            # boost_margin: a single probe at the pocket's in-support
+            # wall UNDERESTIMATES the interior's peak curvature (measured
+            # on the funnel-lite pocket: wall probe 75x vs interior 400x
+            # — at the margin-less boost the post-envelope eps re-adapts
+            # UP and the divergences return). Overshooting a boosted
+            # direction only deepens trees along it; undershooting brings
+            # the divergences back — so boosted directions get headroom.
+            lam_c = np.where(
+                lam > 1.0,
+                np.minimum(lam * self.boost_margin, self.lam_cap),
+                1.0,
+            )
+            # A pocket is LOW-dimensional; a probe that wants to boost
+            # half the space is measuring a pathological point, not a
+            # pocket — keep only its strongest directions (measured on
+            # the FN production target: an uncapped 805-direction fold
+            # froze every chain at R-hat 3).
+            boosted = lam_c > 1.0 + 1e-9
+            if int(boosted.sum()) > self.max_boost_dims:
+                thresh = np.sort(lam_c)[-self.max_boost_dims]
+                lam_c = np.where(lam_c >= thresh, lam_c, 1.0)
             nb = int(np.sum(lam_c > 1.0 + 1e-9))
             if nb == 0:
                 continue
@@ -729,13 +793,19 @@ def _run_chains_pooled(
             iw_c = jnp.broadcast_to(iw[None, :], div.shape)
             moments = _window_moments(qs, div, iw_c, axis_name)
             if track_div:
-                # probe at the divergent LEAF (the exploding leapfrog
-                # state inside the tree), not the rejected start point
-                q_ld, has_div = _last_div_position(
-                    jnp.swapaxes(ys[2], 0, 1), div
+                # gather BOTH endpoints of each chain's last divergent
+                # step (edge + exploded leaf); the envelope bisects
+                # between them for the in-support probe point
+                edge, has_div = _last_div_position(
+                    jnp.swapaxes(ys[2][0], 0, 1), div
                 )
+                leaf, _ = _last_div_position(
+                    jnp.swapaxes(ys[2][1], 0, 1), div
+                )
+                q_ld = jnp.stack([edge, leaf], axis=1)     # (C, 2, dim)
             else:
-                q_ld, has_div = _last_div_position(qs, div)
+                q_ld0, has_div = _last_div_position(qs, div)
+                q_ld = jnp.stack([q_ld0, q_ld0], axis=1)
             return carry, div, moments, q_ld, has_div
 
         warmup_in_specs = (P(CHAIN_AXIS), P(), P(), P())
@@ -755,7 +825,8 @@ def _run_chains_pooled(
 
             carry, (qs, div) = jax.vmap(scan_one)(carry, iw, we)
             moments = _window_moments(qs, div, iw, axis_name)
-            q_ld, has_div = _last_div_position(qs, div)
+            q_ld0, has_div = _last_div_position(qs, div)
+            q_ld = jnp.stack([q_ld0, q_ld0], axis=1)       # (C, 2, dim)
             return carry, div, moments, q_ld, has_div
 
         warmup_in_specs = (

@@ -97,7 +97,7 @@ class TestCollect:
             return np.eye(2)
 
         env = CurvatureEnvelope(hess_fn=hess, max_div_frac=0.05)
-        q = np.zeros((4, 2))
+        q = np.zeros((4, 2, 2))  # (C, edge/leaf, dim)
         has = np.array([True, False, False, False])
         div_one = np.zeros((4, 100), bool)
         div_one[0, 7] = True
@@ -116,13 +116,34 @@ class TestCollect:
 
     def test_max_points(self):
         env = CurvatureEnvelope(hess_fn=lambda z: np.eye(2), max_points=2)
-        q = np.zeros((2, 2))
+        q = np.zeros((2, 2, 2))
         has = np.array([True, True])
         div = np.zeros((2, 50), bool)
         div[0, 3] = True
         for _ in range(5):
             env.collect(q, has, div, past_first_window=True)
         assert len(env.points) == 2
+
+    def test_probe_point_bisection(self):
+        """The probe walks from the edge toward the exploded leaf and
+        stops at the farthest point still within support_drop log-units
+        of the edge density."""
+
+        def logp(z):
+            return -0.5 * z[0] ** 2 - 1000.0 * max(float(z[0]) - 3.0, 0.0)
+
+        env = CurvatureEnvelope(
+            hess_fn=None, logp_fn=logp, support_drop=50.0
+        )
+        edge = np.array([1.0])
+        zt = env._probe_point(edge, np.array([33.0]))
+        assert 1.0 < zt[0] <= 3.1, zt  # support boundary at z = 3
+        # non-finite leaf coordinates are sanitized, not propagated
+        zt2 = env._probe_point(edge, np.array([np.nan]))
+        assert np.all(np.isfinite(zt2))
+        # without a logp_fn the edge is the probe point
+        env2 = CurvatureEnvelope(hess_fn=None)
+        assert env2._probe_point(edge, np.array([33.0]))[0] == edge[0]
 
     def test_checkpoint_state_roundtrip(self, tmp_path):
         """Envelope probes survive a warmup-phase checkpoint write/load
@@ -158,7 +179,7 @@ class TestCollect:
             np.testing.assert_array_equal(a, b)
 
 
-def _pocket_target(curv=400.0, edge=1.2, width=0.4):
+def _pocket_target(curv=1000.0, edge=1.2, width=0.4):
     """2-D analogue of the FN theta_b~0.48 pocket: z1 ~ N(0,1) exactly
     and z2 | z1 ~ N(0, 1/g(z1)) with the conditional curvature g rising
     smoothly from 1 to ~curv past z1 = edge (the + 0.5 log g term keeps
@@ -199,19 +220,23 @@ class TestPocketE2E:
             return -np.asarray(jax.hessian(logp)(jnp.asarray(z)))
 
         _, info_plain = self._run(None)
-        env = CurvatureEnvelope(hess_fn, max_div_frac=0.5)
+        env = CurvatureEnvelope(
+            hess_fn,
+            logp_fn=lambda z: float(logp(jnp.asarray(z))),
+            max_div_frac=0.5,
+        )
         s_env, info_env = self._run(env)
         div_plain = int(np.sum(info_plain["diverging"]))
         div_env = int(np.sum(info_env["diverging"]))
-        # the reproducer must actually reproduce (measured 32 at this
+        # the reproducer must actually reproduce (measured 49 at this
         # seed under x64), and the envelope must collapse it (measured
-        # 1), not merely dent it
+        # 0), not merely dent it
         assert div_plain >= 15, div_plain
         assert div_env <= div_plain // 5, (div_plain, div_env)
         assert info_env["envelope_points"] >= 1
         assert info_env["envelope_boost_dirs"] >= 1
         # the whole point vs step_jitter: the pocket stops taxing the
-        # bulk, so the adapted step size RISES (measured 0.28 -> 0.56)
+        # bulk, so the adapted step size RISES (measured 0.25 -> 4.5)
         assert (
             float(np.mean(info_env["step_size"]))
             > 1.5 * float(np.mean(info_plain["step_size"]))
