@@ -291,7 +291,8 @@ def bench_device_grad(target, psi0, n_evals=3000):
 
 
 def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
-                     step_jitter=STEP_JITTER, envelope=ENVELOPE):
+                     step_jitter=STEP_JITTER, envelope=ENVELOPE,
+                     diag_out=None):
     """The production stack on the reference protocol, through the public
     API: solve_magi with NLML init -> staged Gauss-Newton MAP -> Laplace
     whitening -> pooled-dense-metric multi-chain NUTS. Reports min-theta
@@ -395,6 +396,11 @@ def bench_production(host, n_iters=3000, seed=42, n_chains=N_CHAINS,
         out["envelope_points"] = int(d["envelope_points"])
         out["envelope_boost_dirs"] = int(d["envelope_boost_dirs"])
         out["envelope_boost_max"] = round(float(d["envelope_boost_max"]), 1)
+    if diag_out is not None:
+        # Per-chain per-draw tree stats for offline analysis (the
+        # lockstep decomposition probe) — (C, S) post-warmup arrays.
+        diag_out["num_leapfrog"] = np.asarray(d["num_leapfrog"])
+        diag_out["tree_depth"] = np.asarray(d["tree_depth"])
     # Swap statistics exist only for PT samplers; emitting them as NaN for
     # plain NUTS made BENCH_r02.json non-strict JSON (VERDICT r2 item 5).
     if "swap_acceptance" in d:
